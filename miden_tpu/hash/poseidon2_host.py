@@ -1,0 +1,90 @@
+"""Pure-Python Poseidon2 permutation + sponge (exact ground truth).
+
+Implements the same permutation as p3-goldilocks `default_goldilocks_poseidon2_12`
+(reference: crates/crypto/src/hash/algebraic_sponge/poseidon2/mod.rs, constants
+in constants.rs; pinned by the reference test vector in poseidon2/test.rs).
+
+Used for:
+- the Fiat-Shamir challenger (scalar, O(1) state — host-side by design);
+- the verifier's Merkle path checks;
+- ground-truth tests for the batched JAX kernels in ``poseidon2.py``.
+
+Structure: mds_external, then 4 external rounds (ARC, x^7, mds_external), 22
+internal rounds (ARC+sbox on lane 0, internal matrix = all-ones + diag), then
+4 terminal external rounds. External matrix applies the 4x4 block
+M4 = [[2,3,1,1],[1,2,3,1],[1,1,2,3],[3,1,1,2]] per chunk plus cross-chunk sums.
+"""
+
+from __future__ import annotations
+
+from ..field import gl
+from . import constants as C
+
+P = gl.P
+
+_M4 = ((2, 3, 1, 1), (1, 2, 3, 1), (1, 1, 2, 3), (3, 1, 1, 2))
+
+
+def _sbox(x: int) -> int:
+    x2 = x * x % P
+    x4 = x2 * x2 % P
+    return x4 * x2 % P * x % P
+
+
+def _mds_external(s: list[int]) -> list[int]:
+    out = [0] * 12
+    for b in range(0, 12, 4):
+        c = s[b : b + 4]
+        for r in range(4):
+            out[b + r] = (
+                _M4[r][0] * c[0] + _M4[r][1] * c[1] + _M4[r][2] * c[2] + _M4[r][3] * c[3]
+            ) % P
+    sums = [(out[l] + out[4 + l] + out[8 + l]) % P for l in range(4)]
+    return [(out[i] + sums[i & 3]) % P for i in range(12)]
+
+
+def permute(state: list[int]) -> list[int]:
+    """Poseidon2 permutation on a 12-element Goldilocks state."""
+    s = _mds_external(list(state))
+    for r in range(C.NUM_EXTERNAL_ROUNDS_HALF):
+        rc = C.ARK_EXT_INITIAL[r * 12 : r * 12 + 12]
+        s = _mds_external([_sbox((x + k) % P) for x, k in zip(s, rc)])
+    for r in range(C.NUM_INTERNAL_ROUNDS):
+        s0 = _sbox((s[0] + C.ARK_INT[r]) % P)
+        total = (s0 + sum(s[1:])) % P
+        s = [(total + C.MAT_DIAG[i] * (s0 if i == 0 else s[i])) % P for i in range(12)]
+    for r in range(C.NUM_EXTERNAL_ROUNDS_HALF):
+        rc = C.ARK_EXT_TERMINAL[r * 12 : r * 12 + 12]
+        s = _mds_external([_sbox((x + k) % P) for x, k in zip(s, rc)])
+    return s
+
+
+def hash_elements(elements: list[int]) -> list[int]:
+    """Overwrite-mode sponge hash (StatefulSponge semantics): zero state,
+    absorb rate-8 chunks by overwriting state[0..8] (zero-padding partial
+    chunks), permute per chunk; digest = state[0..4].
+
+    Matches `StatefulSponge::<P, 12, 8, 4>::hash_rows` for a single row
+    (crates/stateful-hasher/src/field_sponge.rs).
+    """
+    state = [0] * 12
+    absorb(state, elements)
+    return state[:4]
+
+
+def absorb(state: list[int], elements: list[int]) -> None:
+    """Absorb one row into a sponge state in-place (overwrite mode, zero-pad
+    partial trailing chunk). Empty input is a no-op."""
+    n = len(elements)
+    for off in range(0, n, 8):
+        chunk = elements[off : off + 8]
+        for i in range(8):
+            state[i] = chunk[i] if i < len(chunk) else 0
+        state[:] = permute(state)
+
+
+def compress(left: list[int], right: list[int]) -> list[int]:
+    """2-to-1 Merkle compression: TruncatedPermutation<P, 2, 4, 12> —
+    state = left || right || zeros, permute, take first 4."""
+    state = list(left) + list(right) + [0, 0, 0, 0]
+    return permute(state)[:4]

@@ -1,13 +1,23 @@
-"""Test configuration: force CPU with 8 virtual devices before importing JAX.
+"""Test configuration: force CPU with 8 virtual devices.
 
 Mirrors the reference's strategy of testing parallel logic without a cluster
 (SURVEY.md §4): sharded kernels run on a host-local virtual mesh and are
 asserted bit-exact against the single-device / pure-Python ground truth.
+
+The environment pins ``JAX_PLATFORMS=axon`` (the real-TPU tunnel) and a
+sitecustomize imports jax at interpreter start, so mutating ``os.environ``
+here is too late for the platform choice — override via ``jax.config``
+instead. ``XLA_FLAGS`` is still read lazily at backend init, so setting it
+here (before any array op) works.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
