@@ -1,0 +1,228 @@
+"""Lifted Matrix Commitment Scheme (LMCS) on TPU.
+
+One Merkle tree commits to several matrices of different power-of-two
+heights (reference: crates/lifted-stark/src/lmcs/). Shorter matrices are
+virtually lifted to the max height by **cyclic repetition in domain order**
+(equivalently nearest-neighbor repetition in bit-reversed order — see the
+equivalence note at lmcs/mod.rs:60-70): domain index ``d`` of the tree reads
+row ``d mod h`` of a height-``h`` matrix, which equals the lifted polynomial
+``f(X^{N/h})`` evaluated at the ``d``-th point of the max coset.
+
+Unlike the reference (bit-reversed storage), this framework stores LDE
+matrices in **natural domain order** throughout — the tree is domain-indexed
+either way, so openings and FRI stay compatible with the protocol structure.
+
+- Leaf ``d``: overwrite-mode Poseidon2 sponge over the row of every matrix at
+  ``d mod h_i``, each row zero-padded to the sponge rate (alignment 8).
+- Inner layers: TruncatedPermutation 2-to-1 compression of adjacent domain
+  indices.
+- Batch openings use a deduplicated Merkle witness: one shared sibling
+  schedule (:func:`sibling_schedule`) drives both the prover's hint stream
+  and the verifier's replay (reference lmcs/merkle_witness.rs).
+
+Leaf hashing and tree layers run batched on device; opening extraction
+gathers O(queries · log N) digests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field.goldilocks import Fp, fp_from_u64, fp_to_u64
+from ..hash import poseidon2
+from ..hash import poseidon2_host
+
+ALIGNMENT = 8  # sponge rate; rows are zero-padded to a multiple of this
+
+
+def aligned_width(w: int) -> int:
+    return ((w + ALIGNMENT - 1) // ALIGNMENT) * ALIGNMENT
+
+
+@dataclass
+class LmcsTree:
+    """Prover-side committed tree.
+
+    ``matrices``: the committed matrices (natural domain order, device Fp).
+    ``layers``: digest layers bottom-up; ``layers[0]`` has ``height`` leaf
+    digests, ``layers[-1]`` is the root. Device Fp of shape ``(m, 4)``.
+    """
+
+    matrices: list
+    heights: list
+    widths: list
+    layers: list
+
+    @property
+    def height(self) -> int:
+        return max(self.heights)
+
+    def root(self) -> np.ndarray:
+        return fp_to_u64(self.layers[-1])[0]
+
+    def rows_at(self, indices: Sequence[int]) -> list:
+        """For each query index (tree's own domain order), the unpadded rows
+        of every matrix, as numpy u64. Returns ``rows[q][m] -> (w_m,)``."""
+        out = []
+        gathered = []
+        for m, h in zip(self.matrices, self.heights):
+            idx = jnp.asarray([d % h for d in indices], dtype=jnp.int32)
+            gathered.append(fp_to_u64(Fp(m.lo[idx], m.hi[idx])))
+        for q in range(len(indices)):
+            out.append([g[q] for g in gathered])
+        return out
+
+    def aligned_rows_at(self, indices: Sequence[int]) -> list:
+        rows = self.rows_at(indices)
+        out = []
+        for per_matrix in rows:
+            aligned = []
+            for r in per_matrix:
+                pad = aligned_width(len(r)) - len(r)
+                aligned.append(np.pad(r, (0, pad)))
+            out.append(aligned)
+        return out
+
+    def digest_at(self, level: int, index: int) -> np.ndarray:
+        layer = self.layers[level]
+        return fp_to_u64(Fp(layer.lo[index : index + 1], layer.hi[index : index + 1]))[0]
+
+
+def _lift_pad_concat(matrices: list, heights: list, max_h: int) -> Fp:
+    """Cyclically lift every matrix to max_h rows, pad widths to alignment,
+    concatenate along columns: result (max_h, total_aligned_width)."""
+    parts_lo, parts_hi = [], []
+    for m, h in zip(matrices, heights):
+        reps = max_h // h
+        lo, hi = m.lo, m.hi
+        if reps > 1:
+            lo = jnp.tile(lo, (reps, 1))
+            hi = jnp.tile(hi, (reps, 1))
+        w = m.shape[1]
+        pad = aligned_width(w) - w
+        if pad:
+            lo = jnp.pad(lo, [(0, 0), (0, pad)])
+            hi = jnp.pad(hi, [(0, 0), (0, pad)])
+        parts_lo.append(lo)
+        parts_hi.append(hi)
+    return Fp(jnp.concatenate(parts_lo, axis=1), jnp.concatenate(parts_hi, axis=1))
+
+
+def build_tree(matrices: Sequence[Fp]) -> LmcsTree:
+    """Commit to matrices (natural domain order, heights powers of two).
+
+    All heights must divide the max height. Leaf hashing and every tree
+    layer run as batched Poseidon2 on device.
+    """
+    matrices = list(matrices)
+    heights = [m.shape[0] for m in matrices]
+    widths = [m.shape[1] for m in matrices]
+    max_h = max(heights)
+    for h in heights:
+        assert max_h % h == 0 and (h & (h - 1)) == 0, "heights must be powers of two"
+
+    flat = _lift_pad_concat(matrices, heights, max_h)
+    total_w = flat.shape[1]
+    blocks = flat.reshape(max_h, total_w // ALIGNMENT, ALIGNMENT)
+    leaves = poseidon2.hash_blocks_jit(blocks)  # (max_h, 4)
+
+    layers = [leaves]
+    cur = leaves
+    while cur.shape[0] > 1:
+        n = cur.shape[0]
+        left = Fp(cur.lo.reshape(n // 2, 2, 4)[:, 0], cur.hi.reshape(n // 2, 2, 4)[:, 0])
+        right = Fp(cur.lo.reshape(n // 2, 2, 4)[:, 1], cur.hi.reshape(n // 2, 2, 4)[:, 1])
+        cur = poseidon2.compress_pairs_jit(left, right)
+        layers.append(cur)
+    return LmcsTree(matrices=matrices, heights=heights, widths=widths, layers=layers)
+
+
+# ---------------------------------------------------------------------------
+# Batch opening (shared sibling schedule)
+# ---------------------------------------------------------------------------
+
+
+def sibling_schedule(indices: Sequence[int], depth: int) -> list:
+    """Deduplicated Merkle witness schedule.
+
+    Given sorted unique leaf indices of a depth-``depth`` tree, returns the
+    ``(level, node_index)`` list (deterministic order) of sibling digests the
+    verifier cannot derive and the prover must supply. Level 0 = leaves.
+    """
+    frontier = sorted(set(indices))
+    needed = []
+    for level in range(depth):
+        parents = set(frontier)
+        for i in frontier:
+            sib = i ^ 1
+            if sib not in parents:
+                needed.append((level, sib))
+        frontier = sorted({i >> 1 for i in frontier})
+    return needed
+
+
+def prove_batch(tree: LmcsTree, indices: Sequence[int], channel) -> None:
+    """Open the tree at sorted-unique ``indices`` (tree's own domain order),
+    streaming hints: aligned rows per index per matrix, then the sibling
+    digests per :func:`sibling_schedule`."""
+    indices = sorted(set(indices))
+    depth = (tree.height - 1).bit_length()
+    for per_matrix in tree.aligned_rows_at(indices):
+        for row in per_matrix:
+            channel.hint_field_slice([int(v) for v in row])
+    for level, node in sibling_schedule(indices, depth):
+        channel.hint_commitment(tuple(int(v) for v in tree.digest_at(level, node)))
+
+
+def verify_batch(
+    commitment,
+    widths: Sequence[int],
+    max_height: int,
+    indices: Sequence[int],
+    channel,
+) -> dict:
+    """Verifier side of :func:`prove_batch`.
+
+    Reads hinted rows + sibling digests from ``channel``, recomputes leaf
+    digests and folds to the root; raises ``ValueError`` on mismatch.
+    Returns ``{index: [row_per_matrix (unpadded numpy u64)]}``.
+    """
+    indices = sorted(set(indices))
+    depth = (max_height - 1).bit_length()
+    rows_by_index: dict = {}
+    leaf_digest: dict = {}
+    for d in indices:
+        rows = []
+        stream = []
+        for w in widths:
+            aw = aligned_width(w)
+            row = channel.read_hint_fields(aw)
+            stream.extend(row)
+            rows.append(np.asarray(row[:w], dtype=np.uint64))
+        rows_by_index[d] = rows
+        leaf_digest[d] = tuple(poseidon2_host.hash_elements([int(v) for v in stream]))
+
+    nodes = {(0, d): leaf_digest[d] for d in indices}
+    frontier = indices
+    for level in range(depth):
+        parents_set = set(frontier)
+        for i in frontier:
+            sib = i ^ 1
+            if sib not in parents_set:
+                nodes[(level, sib)] = tuple(channel.read_hint_commitment())
+        next_frontier = sorted({i >> 1 for i in frontier})
+        for p in next_frontier:
+            left = nodes[(level, 2 * p)]
+            right = nodes[(level, 2 * p + 1)]
+            nodes[(level + 1, p)] = tuple(
+                poseidon2_host.compress(list(left), list(right))
+            )
+        frontier = next_frontier
+    root = nodes[(depth, 0)]
+    if tuple(int(v) for v in commitment) != root:
+        raise ValueError("LMCS root mismatch")
+    return rows_by_index
