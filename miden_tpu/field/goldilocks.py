@@ -346,6 +346,23 @@ def fp_powers(base: int, n: int, shift: int = 1) -> Fp:
     return acc
 
 
+def fp_sum_axis0(x: Fp) -> Fp:
+    """Exact modular sum over axis 0 via log-depth halving reductions."""
+    n = x.shape[0]
+    while n > 1:
+        half = n // 2
+        lo_part = x[0:half]
+        hi_part = x[half : 2 * half]
+        folded = fp_add(lo_part, hi_part)
+        if n % 2:
+            folded = fp_concat([folded, x[2 * half : n]], axis=0)
+            n = half + 1
+        else:
+            n = half
+        x = folded
+    return x[0]
+
+
 # ---------------------------------------------------------------------------
 # Fp2: quadratic extension x^2 - 7
 # ---------------------------------------------------------------------------
@@ -448,6 +465,20 @@ def fp2_concat(xs: Sequence[Fp2], axis=0) -> Fp2:
 
 def fp2_broadcast_to(x: Fp2, shape) -> Fp2:
     return Fp2(fp_broadcast_to(x.c0, shape), fp_broadcast_to(x.c1, shape))
+
+
+def fp2_sum_axis0(x: Fp2) -> Fp2:
+    return Fp2(fp_sum_axis0(x.c0), fp_sum_axis0(x.c1))
+
+
+def fp2_tile(x: Fp2, reps: int) -> Fp2:
+    """Cyclically repeat along axis 0 (lifting in natural domain order)."""
+    if reps == 1:
+        return x
+    return Fp2(
+        Fp(jnp.tile(x.c0.lo, reps), jnp.tile(x.c0.hi, reps)),
+        Fp(jnp.tile(x.c1.lo, reps), jnp.tile(x.c1.hi, reps)),
+    )
 
 
 def fp2_from_pairs_u64(values) -> Fp2:

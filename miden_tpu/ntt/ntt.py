@@ -266,7 +266,48 @@ def evaluate_coeffs_on_coset(coeffs_bitrev: Fp, added_bits: int, shift: int) -> 
     return dft_dit(coeffs)
 
 
-# Jitted entry points (static over the shape-affecting arguments).
-coset_lde_jit = jax.jit(coset_lde, static_argnums=(1, 2, 3))
-coset_interpolate_bitrev_jit = jax.jit(coset_interpolate_bitrev, static_argnums=(1,))
-evaluate_coeffs_on_coset_jit = jax.jit(evaluate_coeffs_on_coset, static_argnums=(1, 2))
+# ---------------------------------------------------------------------------
+# Jitted entry points
+# ---------------------------------------------------------------------------
+# The twiddle/power caches hold concrete device arrays. They must be
+# populated EAGERLY (outside any trace) or cached tracers would leak out of
+# jit; the warm wrappers below populate them first, so inside the jit the
+# cache hit closes over constants.
+
+_coset_lde_jit = jax.jit(coset_lde, static_argnums=(1, 2, 3))
+_coset_interpolate_bitrev_jit = jax.jit(coset_interpolate_bitrev, static_argnums=(1,))
+_evaluate_coeffs_on_coset_jit = jax.jit(evaluate_coeffs_on_coset, static_argnums=(1, 2))
+
+
+def _warm(log_small: int, log_big: int, shifts_bitrev) -> None:
+    _stage_twiddles(log_small, True)
+    _stage_twiddles(log_big, False)
+    for s, n in shifts_bitrev:
+        if s % gl.P != 1:
+            shift_powers(s, n, bitrev=True)
+
+
+def coset_lde_jit(evals, added_bits: int, shift_out: int, shift_in: int = 1):
+    n = evals.shape[0]
+    log_n = n.bit_length() - 1
+    eff = (
+        gl.mul(shift_out % gl.P, gl.inv(shift_in % gl.P))
+        if shift_in != 1
+        else shift_out % gl.P
+    )
+    _warm(log_n, log_n + added_bits, [(eff, n << added_bits)])
+    return _coset_lde_jit(evals, added_bits, shift_out, shift_in)
+
+
+def coset_interpolate_bitrev_jit(evals, shift: int):
+    n = evals.shape[0]
+    log_n = n.bit_length() - 1
+    _warm(log_n, 0, [(gl.inv(shift % gl.P), n)])
+    return _coset_interpolate_bitrev_jit(evals, shift)
+
+
+def evaluate_coeffs_on_coset_jit(coeffs, added_bits: int, shift: int):
+    n = coeffs.shape[0]
+    log_big = n.bit_length() - 1 + added_bits
+    _warm(0, log_big, [(shift, n << added_bits)])
+    return _evaluate_coeffs_on_coset_jit(coeffs, added_bits, shift)

@@ -1,0 +1,355 @@
+"""AIR interface: one constraint definition, three evaluation backends.
+
+The reference evaluates constraints three ways — packed SIMD on the quotient
+coset (prover/constraints/), scalar at the OOD point (verifier/constraints.rs),
+and symbolically for degree/layout discovery (lifted-air symbolic/). This
+module realizes the same triple with a single ``Air.eval(folder)`` definition
+dispatched over interchangeable backends:
+
+- :class:`VectorBackend` — JAX arrays over the whole quotient domain (prover);
+- :class:`ScalarBackend` — exact Python ints at the OOD point (verifier);
+- :class:`DegreeBackend` — degree-multiple tracking (quotient sizing,
+  mirroring lifted-air's symbolic builder and domain.rs log_quotient_degree).
+
+Constraints are α-folded Horner-style in ``assert_*`` order:
+``acc ← acc·α + c`` — prover and verifier fold identically, so the quotient
+identity holds value-for-value at the OOD point.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from ..field import gl
+from ..field.goldilocks import (
+    Fp,
+    Fp2,
+    fp2_add,
+    fp2_mul,
+    fp2_mul_base,
+    fp2_sub,
+    fp_add,
+    fp_broadcast_to,
+    fp_const,
+    fp_mul,
+    fp_sub,
+)
+
+# ---------------------------------------------------------------------------
+# Backends
+# ---------------------------------------------------------------------------
+
+
+class VectorBackend:
+    """Values are Fp (base) / Fp2 (ext) arrays over the evaluation domain."""
+
+    kind = "vector"
+
+    def __init__(self, shape):
+        self.shape = shape
+
+    def const(self, c: int):
+        return fp_broadcast_to(fp_const(c % gl.P), self.shape)
+
+    def add(self, a, b, ka, kb):
+        if ka == "base" and kb == "base":
+            return fp_add(a, b)
+        a = self._ext(a, ka)
+        b = self._ext(b, kb)
+        return fp2_add(a, b)
+
+    def sub(self, a, b, ka, kb):
+        if ka == "base" and kb == "base":
+            return fp_sub(a, b)
+        a = self._ext(a, ka)
+        b = self._ext(b, kb)
+        return fp2_sub(a, b)
+
+    def mul(self, a, b, ka, kb):
+        if ka == "base" and kb == "base":
+            return fp_mul(a, b)
+        if ka == "base":
+            return fp2_mul_base(b, a)
+        if kb == "base":
+            return fp2_mul_base(a, b)
+        return fp2_mul(a, b)
+
+    def _ext(self, v, k):
+        if k == "ext":
+            return v
+        zero = fp_sub(v, v)
+        return Fp2(v, zero)
+
+
+class ScalarBackend:
+    """Values are Python ints (base) / (c0, c1) tuples (ext)."""
+
+    kind = "scalar"
+
+    def const(self, c: int):
+        return c % gl.P
+
+    def add(self, a, b, ka, kb):
+        if ka == "base" and kb == "base":
+            return gl.add(a, b)
+        return gl.ext_add(self._ext(a, ka), self._ext(b, kb))
+
+    def sub(self, a, b, ka, kb):
+        if ka == "base" and kb == "base":
+            return gl.sub(a, b)
+        return gl.ext_sub(self._ext(a, ka), self._ext(b, kb))
+
+    def mul(self, a, b, ka, kb):
+        if ka == "base" and kb == "base":
+            return gl.mul(a, b)
+        if ka == "base":
+            return gl.ext_mul_base(b, a)
+        if kb == "base":
+            return gl.ext_mul_base(a, b)
+        return gl.ext_mul(a, b)
+
+    def _ext(self, v, k):
+        return v if k == "ext" else (v, 0)
+
+
+class DegreeBackend:
+    """Values are degree multiples (trace column = 1)."""
+
+    kind = "degree"
+
+    def const(self, c: int):
+        return 0
+
+    def add(self, a, b, ka, kb):
+        return max(a, b)
+
+    sub = add
+
+    def mul(self, a, b, ka, kb):
+        return a + b
+
+
+class Expr:
+    """Backend-dispatched value with operator overloading."""
+
+    __slots__ = ("backend", "kind", "val")
+
+    def __init__(self, backend, kind, val):
+        self.backend = backend
+        self.kind = kind
+        self.val = val
+
+    def _coerce(self, other) -> "Expr":
+        if isinstance(other, Expr):
+            return other
+        if isinstance(other, int):
+            return Expr(self.backend, "base", self.backend.const(other))
+        raise TypeError(f"cannot mix Expr with {type(other)}")
+
+    def _bin(self, other, op):
+        other = self._coerce(other)
+        kind = "ext" if "ext" in (self.kind, other.kind) else "base"
+        if isinstance(self.backend, DegreeBackend):
+            kind = "base"
+        return Expr(
+            self.backend,
+            kind,
+            op(self.val, other.val, self.kind, other.kind),
+        )
+
+    def __add__(self, other):
+        return self._bin(other, self.backend.add)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return self._bin(other, self.backend.sub)
+
+    def __rsub__(self, other):
+        return self._coerce(other).__sub__(self)
+
+    def __mul__(self, other):
+        return self._bin(other, self.backend.mul)
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return self._coerce(0).__sub__(self)
+
+
+# ---------------------------------------------------------------------------
+# Folder
+# ---------------------------------------------------------------------------
+
+
+class Folder:
+    """Constraint accumulation context handed to ``Air.eval``.
+
+    The environment callbacks (`main_fn`, `aux_fn`, …) are provided by the
+    prover (vector), verifier (scalar), or degree analyzer.
+    """
+
+    def __init__(
+        self,
+        backend,
+        *,
+        main_fn,
+        aux_fn=None,
+        periodic=(),
+        publics=(),
+        randomness=(),
+        aux_values=(),
+        selectors=None,
+        alpha=None,
+    ):
+        self.backend = backend
+        self._main = main_fn
+        self._aux = aux_fn
+        self._periodic = list(periodic)
+        self._publics = list(publics)
+        self._randomness = list(randomness)
+        self._aux_values = list(aux_values)
+        self._selectors = selectors
+        self._alpha = alpha
+        self.acc = None  # α-folded accumulator (ext Expr)
+        self.num_constraints = 0
+
+    # --- value access ---
+    def main(self, col: int, offset: int = 0) -> Expr:
+        return self._main(col, offset)
+
+    def aux(self, col: int, offset: int = 0) -> Expr:
+        return self._aux(col, offset)
+
+    def periodic(self, i: int) -> Expr:
+        return self._periodic[i]
+
+    def public(self, i: int) -> Expr:
+        return self._publics[i]
+
+    def rand(self, i: int) -> Expr:
+        return self._randomness[i]
+
+    def aux_value(self, i: int) -> Expr:
+        return self._aux_values[i]
+
+    def const(self, c: int) -> Expr:
+        return Expr(self.backend, "base", self.backend.const(c))
+
+    def ext_const(self, c) -> Expr:
+        if isinstance(self.backend, DegreeBackend):
+            return Expr(self.backend, "base", 0)
+        if isinstance(self.backend, ScalarBackend):
+            return Expr(self.backend, "ext", (c[0] % gl.P, c[1] % gl.P))
+        zero0 = self.backend.const(c[0])
+        zero1 = self.backend.const(c[1])
+        return Expr(self.backend, "ext", Fp2(zero0, zero1))
+
+    # --- selectors ---
+    def is_first_row(self) -> Expr:
+        return self._selectors[0]
+
+    def is_last_row(self) -> Expr:
+        return self._selectors[1]
+
+    def is_transition(self) -> Expr:
+        return self._selectors[2]
+
+    # --- constraint sinks ---
+    def _fold(self, e: Expr) -> None:
+        self.num_constraints += 1
+        if isinstance(self.backend, DegreeBackend):
+            self.acc = e.val if self.acc is None else max(self.acc, e.val)
+            return
+        if self.acc is None:
+            self.acc = e
+        else:
+            self.acc = self.acc * self._alpha + e
+
+    def assert_zero(self, e: Expr) -> None:
+        """Constraint holding on every row."""
+        self._fold(e)
+
+    def assert_zero_first_row(self, e: Expr) -> None:
+        self._fold(e * self.is_first_row())
+
+    def assert_zero_last_row(self, e: Expr) -> None:
+        self._fold(e * self.is_last_row())
+
+    def assert_transition(self, e: Expr) -> None:
+        """Constraint holding on every row but the last."""
+        self._fold(e * self.is_transition())
+
+
+# ---------------------------------------------------------------------------
+# Air / MultiAir
+# ---------------------------------------------------------------------------
+
+
+class Air:
+    """One AIR instance: main width, optional aux (LogUp) columns, periodic
+    columns, and an ``eval`` over a :class:`Folder`.
+
+    Mirrors the ``LiftedAir`` trait (crates/lifted-air/src/air.rs:48): window
+    size is fixed at 2 rows (offset ∈ {0, 1}).
+    """
+
+    width: int = 0
+    aux_width: int = 0
+    num_randomness: int = 0
+    num_aux_values: int = 0
+    num_public_values: int = 0
+    periodic_columns: Sequence[Sequence[int]] = ()
+
+    def eval(self, f: Folder) -> None:
+        raise NotImplementedError
+
+    def build_aux_trace(self, main, publics, aux_inputs, randomness):
+        """main: numpy u64 (n, width). Returns (aux (n, aux_width, 2) u64,
+        aux_values list[(c0,c1)])."""
+        n = main.shape[0]
+        return np.zeros((n, 0, 2), dtype=np.uint64), []
+
+    def constraint_degree(self) -> int:
+        """Max degree multiple via the degree backend."""
+        backend = DegreeBackend()
+        one = Expr(backend, "base", 1)
+        zero = Expr(backend, "base", 0)
+        f = Folder(
+            backend,
+            main_fn=lambda c, o=0: Expr(backend, "base", 1),
+            aux_fn=lambda c, o=0: Expr(backend, "base", 1),
+            # A period-p column is h(X^{n/p}) with degree up to n·(p−1)/p —
+            # count it as a full trace-degree factor (conservative bound).
+            periodic=[one] * len(self.periodic_columns),
+            publics=[zero] * self.num_public_values,
+            randomness=[zero] * self.num_randomness,
+            aux_values=[zero] * self.num_aux_values,
+            selectors=(one, one, Expr(backend, "base", 0)),
+            alpha=zero,
+        )
+        self.eval(f)
+        return int(f.acc or 1)
+
+
+class MultiAir:
+    """A set of AIRs proven together (MultiAir trait, lifted-air/src/air.rs).
+
+    ``eval_external`` checks cross-AIR assertions (e.g. LogUp bus balance)
+    over the per-AIR aux values; all entries must be zero.
+    """
+
+    def __init__(self, airs: Sequence[Air]):
+        self.airs = list(airs)
+
+    def num_public_values(self) -> int:
+        return max((a.num_public_values for a in self.airs), default=0)
+
+    def observe(self, challenger, publics, aux_inputs) -> None:
+        challenger.observe_slice(publics)
+        challenger.observe_slice(aux_inputs)
+
+    def eval_external(self, randomness, aux_values, log_heights) -> list:
+        return []

@@ -1,0 +1,383 @@
+"""Lifted STARK prover orchestration.
+
+Mirrors ``prove()`` (crates/lifted-stark/src/prover/mod.rs:230-578) with this
+framework's device layout:
+
+1.  Order AIRs by ascending trace height (stable on instance index) and bind
+    the statement + shape into Fiat-Shamir.
+2.  Commit main traces: per-trace coset LDE (blowup B, canonical per-height
+    shifts) into one lifted LMCS tree.
+3.  Sample aux randomness, build aux (LogUp) traces, check external
+    assertions, commit aux, send aux values.
+4.  Sample α (constraint fold) and β (AIR accumulation); per AIR evaluate
+    the α-folded constraints on its native quotient coset (a strided view of
+    its committed LDE — the natural-order equivalent of the bit-reversed
+    prefix trick, commit.rs:95-106), divide by Z_H, upsample to D_max, and
+    Horner-accumulate with β under cyclic lifting.
+5.  Commit the quotient: interpolate, split into D contiguous degree-<N
+    chunks (strided in bit-reversed coefficient order — no permutation),
+    LDE all chunks in one batched NTT, commit.
+6.  Sample the OOD point z ∉ H ∪ sK; open [main, aux, quotient] at
+    [z, z·ω_H] through the PCS (DEEP + FRI + queries).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import gl
+from ..field.goldilocks import (
+    Fp,
+    Fp2,
+    fp2_add,
+    fp2_broadcast_to,
+    fp2_from_pairs_u64,
+    fp2_mul,
+    fp2_mul_base,
+    fp2_tile,
+    fp_from_u64,
+    fp_inv,
+    fp_mul,
+    fp_sub,
+)
+from ..merkle import lmcs
+from ..ntt import ntt
+from ..transcript.challenger import DuplexChallenger, ProverChannel, TranscriptData
+from . import pcs
+from .air import Air, Expr, Folder, MultiAir, VectorBackend
+from .domains import LiftedDomain, log_quotient_degree
+from .params import PcsParams
+
+
+@dataclass
+class Statement:
+    """Verifier-visible statement: the AIRs + shared public inputs."""
+
+    multi_air: MultiAir
+    publics: list
+    aux_inputs: list = field(default_factory=list)
+
+    def observe(self, challenger, log_heights) -> None:
+        """FS binding of statement + shape (prover/mod.rs:284-292)."""
+        self.multi_air.observe(challenger, self.publics, self.aux_inputs)
+        challenger.observe(len(self.multi_air.airs))
+        for lh in log_heights:
+            challenger.observe(lh)
+
+
+@dataclass
+class Proof:
+    log_heights: list  # instance order
+    data: TranscriptData
+
+    def size_in_bytes(self) -> int:
+        return self.data.size_in_bytes() + len(self.log_heights)
+
+
+@dataclass
+class StarkOutput:
+    digest: list
+    proof: Proof
+
+
+def proof_order(log_heights: list) -> list:
+    """Instance indices sorted by (log_height, instance index) ascending
+    (order.rs:49)."""
+    return sorted(range(len(log_heights)), key=lambda i: (log_heights[i], i))
+
+
+def _ext_const_vec(v: tuple, shape) -> Fp2:
+    return fp2_broadcast_to(
+        fp2_from_pairs_u64(np.array(v, dtype=np.uint64)), shape
+    )
+
+
+def commit_traces(matrices_u64: list, log_blowup: int) -> lmcs.LmcsTree:
+    """LDE each trace on its canonical coset and commit into one tree."""
+    ldes = []
+    for m in matrices_u64:
+        n, w = m.shape
+        if w == 0:
+            ldes.append(Fp(jnp.zeros((n << log_blowup, 0), dtype=jnp.uint32),
+                           jnp.zeros((n << log_blowup, 0), dtype=jnp.uint32)))
+            continue
+        shift = gl.canonical_lde_shift((n.bit_length() - 1) + log_blowup)
+        ldes.append(ntt.coset_lde_jit(fp_from_u64(m), log_blowup, shift))
+    return lmcs.build_tree(ldes)
+
+
+def _periodic_on_domain(pattern, n, log_d, shift) -> Fp:
+    """Periodic column values over the quotient eval domain (size n·2^log_d).
+
+    The period-p pattern defines h of degree < p with h(ω_p^i) = pattern[i];
+    values at x^{n/p} for x over (shift, n·D) tile with period p·D."""
+    p = len(pattern)
+    s_eff = gl.exp_power_of_2(shift, (n // p).bit_length() - 1)
+    evals = fp_from_u64(np.asarray(pattern, dtype=np.uint64)[:, None])
+    small = ntt.coset_lde(evals, log_d, s_eff)  # (p·D, 1)
+    reps = n // p
+    return Fp(jnp.tile(small.lo[:, 0], reps), jnp.tile(small.hi[:, 0], reps))
+
+
+def evaluate_quotient(
+    air: Air,
+    domain: LiftedDomain,
+    main_lde: Fp,
+    aux_lde: Fp,
+    log_d: int,
+    alpha: tuple,
+    publics: list,
+    randomness: list,
+    aux_values: list,
+) -> Fp2:
+    """α-folded constraint evaluation / Z_H over the native quotient coset
+    (prover/constraints/mod.rs:40-130, vectorized)."""
+    n = domain.trace_height
+    d = 1 << log_d
+    nd = n * d
+    stride = domain.lde_height // nd
+    shift = domain.lde_shift
+
+    main_gj = main_lde[::stride]
+    main_next = Fp(
+        jnp.roll(main_gj.lo, -d, axis=0), jnp.roll(main_gj.hi, -d, axis=0)
+    )
+    aux_gj = aux_lde[::stride] if aux_lde is not None else None
+    aux_next = (
+        Fp(jnp.roll(aux_gj.lo, -d, axis=0), jnp.roll(aux_gj.hi, -d, axis=0))
+        if aux_gj is not None
+        else None
+    )
+
+    backend = VectorBackend((nd,))
+
+    def main_fn(col, offset=0):
+        src = main_gj if offset == 0 else main_next
+        return Expr(backend, "base", src[:, col])
+
+    def aux_fn(col, offset=0):
+        src = aux_gj if offset == 0 else aux_next
+        val = Fp2(src[:, 2 * col], src[:, 2 * col + 1])
+        return Expr(backend, "ext", val)
+
+    # Selectors over the coset: Z_H(x_i) = shift^n·ω_D^{i mod D} − 1 has D
+    # distinct values (host ints); denominators batch-inverted on device.
+    pts = pcs.coset_points(nd.bit_length() - 1, shift)
+    sn = gl.exp_power_of_2(shift, domain.log_trace_height)
+    wd = gl.two_adic_generator(log_d) if log_d else 1
+    z_vals = []
+    v = sn
+    for _ in range(d):
+        z_vals.append(gl.sub(v, 1))
+        v = gl.mul(v, wd)
+    z_tile = Fp(
+        jnp.tile(fp_from_u64(np.asarray(z_vals, dtype=np.uint64)).lo, n),
+        jnp.tile(fp_from_u64(np.asarray(z_vals, dtype=np.uint64)).hi, n),
+    )
+    one = pcs._bconst(1, (nd,))
+    w_inv = gl.inv(domain.trace_generator)
+    first_den = fp_inv(fp_sub(pts, one))
+    last_den_raw = fp_sub(pts, pcs._bconst(w_inv, (nd,)))
+    last_den = fp_inv(last_den_raw)
+    sels = (
+        Expr(backend, "base", fp_mul(z_tile, first_den)),
+        Expr(backend, "base", fp_mul(z_tile, last_den)),
+        Expr(backend, "base", last_den_raw),
+    )
+
+    periodic = [
+        Expr(backend, "base", _periodic_on_domain(p, n, log_d, shift))
+        for p in air.periodic_columns
+    ]
+    pubs = [Expr(backend, "base", pcs._bconst(p, ())) for p in publics]
+    rand_e = [
+        Expr(backend, "ext", _ext_const_vec(r, ())) for r in randomness
+    ]
+    auxv_e = [
+        Expr(backend, "ext", _ext_const_vec(v, ())) for v in aux_values
+    ]
+    alpha_e = Expr(backend, "ext", _ext_const_vec(alpha, ()))
+
+    folder = Folder(
+        backend,
+        main_fn=main_fn,
+        aux_fn=aux_fn,
+        periodic=periodic,
+        publics=pubs,
+        randomness=rand_e,
+        aux_values=auxv_e,
+        selectors=sels,
+        alpha=alpha_e,
+    )
+    air.eval(folder)
+    acc = folder.acc
+    assert acc is not None, "AIR produced no constraints"
+    if acc.kind == "base":
+        acc = Expr(backend, "ext", Fp2(acc.val, fp_sub(acc.val, acc.val)))
+    # Fused divide by Z_H: only D distinct values, batch-inverted host-side.
+    inv_z = [gl.inv(zv) for zv in z_vals]
+    inv_tile = Fp(
+        jnp.tile(fp_from_u64(np.asarray(inv_z, dtype=np.uint64)).lo, n),
+        jnp.tile(fp_from_u64(np.asarray(inv_z, dtype=np.uint64)).hi, n),
+    )
+    return fp2_mul_base(acc.val, inv_tile)
+
+
+def upsample_evals(evals: Fp2, shift: int, added_bits: int) -> Fp2:
+    """LDE ext evals (natural, shift s) from size L to L·2^added_bits on the
+    same shift (quotient.rs:45 upsample)."""
+    comp = Fp(
+        jnp.stack([evals.c0.lo, evals.c1.lo], axis=1),
+        jnp.stack([evals.c0.hi, evals.c1.hi], axis=1),
+    )
+    coeffs = ntt.coset_interpolate_bitrev(comp, shift)
+    out = ntt.evaluate_coeffs_on_coset(coeffs, added_bits, shift)
+    return Fp2(out[:, 0], out[:, 1])
+
+
+def commit_quotient(
+    acc: Fp2, domain: LiftedDomain, log_d: int, log_blowup: int
+) -> lmcs.LmcsTree:
+    """Split Q (evals over (s_K, N·D)) into D contiguous degree-<N chunks and
+    commit their LDEs on (s_K, N·B) as one 2D-column matrix
+    (quotient.rs:143-216's fused transform, batched in one NTT)."""
+    n = domain.trace_height
+    d = 1 << log_d
+    shift = domain.lde_shift
+    comp = Fp(
+        jnp.stack([acc.c0.lo, acc.c1.lo], axis=1),
+        jnp.stack([acc.c0.hi, acc.c1.hi], axis=1),
+    )  # (N·D, 2)
+    coeffs_br = ntt.coset_interpolate_bitrev(comp, shift)
+    # Contiguous chunk t (natural coeffs [tN, (t+1)N)) = stride-D slice of the
+    # bit-reversed order starting at bitrev_D(t): view (N, D) per component.
+    lo = coeffs_br.lo.reshape(n, d, 2)
+    hi = coeffs_br.hi.reshape(n, d, 2)
+    br = [int(format(t, f"0{log_d}b")[::-1], 2) if log_d else 0 for t in range(d)]
+    cols_lo = [lo[:, br[t], c] for t in range(d) for c in (0, 1)]
+    cols_hi = [hi[:, br[t], c] for t in range(d) for c in (0, 1)]
+    chunk_coeffs = Fp(jnp.stack(cols_lo, axis=1), jnp.stack(cols_hi, axis=1))
+    evals = ntt.evaluate_coeffs_on_coset(chunk_coeffs, log_blowup, shift)
+    return lmcs.build_tree([evals])
+
+
+def prove(
+    params: PcsParams,
+    statement: Statement,
+    traces: list,
+    challenger: DuplexChallenger,
+) -> StarkOutput:
+    """Prove a multi-AIR statement. ``traces[i]``: numpy u64 (n_i, width_i),
+    instance order. The challenger must be pre-bound to protocol parameters
+    (see air/src/config.rs observe_protocol_params)."""
+    airs = statement.multi_air.airs
+    assert len(airs) == len(traces)
+    log_blowup = params.log_blowup
+    log_heights = [t.shape[0].bit_length() - 1 for t in traces]
+    for t, a in zip(traces, airs):
+        assert t.shape == (1 << (t.shape[0].bit_length() - 1), a.width)
+
+    order = proof_order(log_heights)
+    max_log_h = max(log_heights)
+    max_domain = LiftedDomain.canonical(max_log_h, log_blowup)
+    domains = [
+        max_domain.sub_domain(log_heights[i]) for i in order
+    ]
+
+    statement.observe(challenger, log_heights)
+    channel = ProverChannel(challenger)
+
+    # Per-AIR quotient degree; the shared D is the max.
+    log_ds = [log_quotient_degree(airs[i].constraint_degree()) for i in order]
+    log_d = max(log_ds)
+    assert log_d <= log_blowup, "constraint degree exceeds blowup"
+
+    # 1. Commit main traces (proof order).
+    main_tree = commit_traces([traces[i] for i in order], log_blowup)
+    channel.send_commitment(main_tree.root())
+
+    # 2. Randomness → aux traces (built in instance order) → external
+    #    assertions → commit (proof order) → send aux values.
+    max_rand = max((a.num_randomness for a in airs), default=0)
+    randomness = [channel.sample_ext() for _ in range(max_rand)]
+    aux_pairs = [
+        a.build_aux_trace(
+            t, statement.publics, statement.aux_inputs, randomness[: a.num_randomness]
+        )
+        for a, t in zip(airs, traces)
+    ]
+    aux_values_inst = [v for (_, v) in aux_pairs]
+    assertions = statement.multi_air.eval_external(
+        randomness, aux_values_inst, log_heights
+    )
+    for k, v in enumerate(assertions):
+        if tuple(v) != (0, 0):
+            raise ValueError(f"external assertion {k} is non-zero: {v}")
+    aux_flat = []
+    for i in order:
+        aux_t = aux_pairs[i][0]  # (n, aw, 2)
+        n, aw, _ = aux_t.shape
+        aux_flat.append(aux_t.reshape(n, 2 * aw))
+    aux_tree = commit_traces(aux_flat, log_blowup)
+    channel.send_commitment(aux_tree.root())
+    aux_values = [aux_values_inst[i] for i in order]
+    for vals in aux_values:
+        channel.send_ext_slice([tuple(v) for v in vals])
+
+    # 3. Constraint fold / accumulation challenges.
+    alpha = channel.sample_ext()
+    beta = channel.sample_ext()
+
+    # 4. Per-AIR quotient evaluation + Horner accumulation under lifting.
+    acc = None
+    for k, i in enumerate(order):
+        air = airs[i]
+        dom = domains[k]
+        q = evaluate_quotient(
+            air,
+            dom,
+            main_tree.matrices[k],
+            aux_tree.matrices[k] if air.aux_width else None,
+            log_ds[k],
+            alpha,
+            statement.publics,
+            randomness[: air.num_randomness],
+            aux_values[k],
+        )
+        if log_ds[k] < log_d:
+            q = upsample_evals(q, dom.lde_shift, log_d - log_ds[k])
+        target = dom.trace_height << log_d
+        if acc is None:
+            acc = q
+        else:
+            reps = target // acc.shape[0]
+            acc = fp2_add(
+                fp2_mul(
+                    fp2_tile(acc, reps),
+                    _ext_const_vec(beta, (target,)),
+                ),
+                q,
+            )
+    # 5. Commit quotient.
+    quotient_tree = commit_quotient(acc, max_domain, log_d, log_blowup)
+    channel.send_commitment(quotient_tree.root())
+
+    # 6. OOD point + PCS opening at [z, z·ω_H].
+    z = max_domain.sample_ood_point(channel)
+    h = max_domain.trace_generator
+    z_next = gl.ext_mul_base(z, h)
+    pcs.open_with_channel(
+        params,
+        max_domain,
+        [main_tree, aux_tree, quotient_tree],
+        [z, z_next],
+        channel,
+    )
+
+    digest, data = channel.finalize()
+    return StarkOutput(
+        digest=digest, proof=Proof(log_heights=log_heights, data=data)
+    )
