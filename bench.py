@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Benchmark: end-to-end STARK proof wall-clock on real TPU.
+
+Proves a Miden-shaped 3-AIR statement (51-col core + 8 EF aux at 2^LOG_N,
+22-col chiplets at 2^(LOG_N-2), 16-col poseidon2 at 2^(LOG_N-4); blowup 8,
+FRI arity 4, 27 queries, PoW 16/12/4 — the production protocol profile) and
+prints ONE JSON line.
+
+Baseline: the reference Rust prover at 2^20 rows with the Poseidon2 STARK
+hash takes 6.9 s on a 64-thread AMD EPYC 9R45 (BASELINE.md; README.md:154).
+``vs_baseline`` = baseline_seconds / our_seconds at the benched size
+(baseline scaled linearly in rows from 2^20), so > 1.0 means faster than the
+64-core Rust prover.
+
+Env:
+  BENCH_LOG_N   core trace log2 height (default 16)
+  BENCH_VERIFY  "1" to also verify the proof (off by default; verification
+                is host-side and not the benched quantity)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_2P20_S = 6.9  # EPYC 9R45 64T, Poseidon2 hash, 2^20 rows
+
+
+def main() -> None:
+    log_n = int(os.environ.get("BENCH_LOG_N", "16"))
+
+    from miden_tpu.bench_airs import miden_shaped_statement
+    from miden_tpu.stark import MIDEN_PARAMS, prove
+    from miden_tpu.transcript.challenger import DuplexChallenger
+
+    seed = [0x6D69, 0x6465, 0x6E2D, 0x7470]  # domain separator
+
+    statement, traces = miden_shaped_statement(log_n)
+
+    # Warm-up at a small size so one-time compilation of the shared kernels
+    # (per-shape compiles still occur at the benched size's first use).
+    t_start = time.time()
+    out = prove(MIDEN_PARAMS, statement, traces, DuplexChallenger(seed))
+    first_s = time.time() - t_start
+
+    # Second run: steady-state (compile cache warm for every shape).
+    t_start = time.time()
+    out = prove(MIDEN_PARAMS, statement, traces, DuplexChallenger(seed))
+    steady_s = time.time() - t_start
+
+    if os.environ.get("BENCH_VERIFY") == "1":
+        from miden_tpu.stark import verify
+
+        digest = verify(MIDEN_PARAMS, statement, out.proof, DuplexChallenger(seed))
+        assert digest == out.digest
+
+    baseline_s = BASELINE_2P20_S * (1 << log_n) / (1 << 20)
+    print(
+        json.dumps(
+            {
+                "metric": f"e2e_prove_2^{log_n}_miden_shaped",
+                "value": round(steady_s, 3),
+                "unit": "s",
+                "vs_baseline": round(baseline_s / steady_s, 4),
+                "first_run_s": round(first_s, 3),
+                "proof_bytes": out.proof.size_in_bytes(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

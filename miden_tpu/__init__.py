@@ -1,29 +1,23 @@
-"""miden_tpu — a TPU-native STARK proving framework for the Miden VM proof pipeline.
+"""miden_tpu: TPU-native STARK proving framework for the Miden VM pipeline.
 
-This package re-implements the proving stack of `0xMiden/miden-vm` (a Rust,
-Plonky3-based "lifted STARK" over the 64-bit Goldilocks field) as a brand-new
-TPU-first design on JAX/XLA/Pallas:
-
-- ``field``      — Goldilocks base field + quadratic extension as packed 32-bit
-                   limb arithmetic (TPU has no native 64-bit integer multiply).
-- ``ntt``        — radix-2 NTT / iNTT and coset LDE with bit-reversed layout,
-                   mirroring the semantics of p3-dft's ``coset_lde_batch``
-                   (reference: crates/lifted-stark/src/prover/commit.rs:142-180).
-- ``hash``       — batched Poseidon2 width-12 permutation + sponge
-                   (reference: crates/crypto/src/hash/algebraic_sponge/poseidon2/).
-- ``merkle``     — the Lifted Matrix Commitment Scheme (LMCS)
-                   (reference: crates/lifted-stark/src/lmcs/).
-- ``transcript`` — duplex-sponge Fiat-Shamir challenger + prover/verifier channels
-                   (reference: crates/stark-transcript/).
-- ``stark``      — domains, prover orchestration, DEEP-ALI, FRI, verifier
-                   (reference: crates/lifted-stark/src/{domain,prover,pcs,verifier}).
-- ``air``        — the LiftedAir interface + built-in AIRs
-                   (reference: crates/lifted-air/).
-- ``parallel``   — device-mesh sharded kernels (row-sharded NTT / Merkle).
-
-The compute-heavy phases (LDE, Merkle hashing, constraint evaluation, DEEP
-reduction, FRI folding) run on-device under ``jax.jit``; the tiny query phase,
-grinding bookkeeping, and transcript live host-side.
+Built from scratch in JAX/XLA (Pallas for hot kernels): Goldilocks field as
+packed 32-bit limb arrays, batched Poseidon2, radix-2 NTT/LDE, lifted Merkle
+commitments, and the full lifted-STARK prover/verifier.
 """
 
-__version__ = "0.1.0"
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: compiled kernels (permutation, NTT stages,
+# constraint evaluators) are shape-keyed; caching across processes removes
+# recompilation from every run after the first.
+_cache_dir = _os.environ.get(
+    "MIDEN_TPU_JAX_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+)
+try:
+    _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:
+    pass

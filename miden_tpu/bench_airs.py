@@ -1,0 +1,116 @@
+"""Miden-shaped synthetic AIRs for benchmarking.
+
+Mirrors the shape of the Miden VM multi-AIR (SURVEY.md §2.3): a 51-column
+"core" AIR with an 8-EF-column LogUp aux block, a 22-column "chiplets" AIR,
+and a 16-column "poseidon2-permutation" AIR with a 16-row periodic cycle —
+at the same widths, degree profile (max degree multiple 3 ⇒ quotient D = 2
+chunks... degree 3 constraints), and height mix as the real thing, so the
+prover exercises identical LDE/commit/constraint/DEEP/FRI cost.
+
+Constraints are chosen to vanish on the all-zero main trace so arbitrary
+power-of-two heights bench without a VM front-end (zero data moves through
+the exact same kernels at the same cost).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .field import gl
+from .field.goldilocks import Fp2, fp2_broadcast_to, fp2_from_pairs_u64
+from .stark.air import Air, MultiAir
+from .stark.aux import running_sum_aux
+
+
+class CoreShapedAir(Air):
+    """51 main columns + 8 EF aux columns (4 LogUp buses worth), degree ≤ 3."""
+
+    width = 51
+    aux_width = 8
+    num_randomness = 2
+    num_aux_values = 8
+    num_public_values = 32
+
+    def eval(self, f):
+        # degree-3 transition family across all columns (vanishes at 0)
+        for c in range(self.width):
+            a = f.main(c)
+            b = f.main((c + 1) % self.width)
+            nxt = f.main(c, 1)
+            f.assert_transition(nxt * a - a * a * b)
+        # boundary family against the 32 public values
+        for c in range(min(16, self.width)):
+            f.assert_zero_first_row(f.main(c) - f.public(c))
+            f.assert_zero_last_row(f.main(c) - f.public(16 + c))
+        # aux running-sum constraints per EF column
+        g0 = f.rand(0)
+        g1 = f.rand(1)
+        for c in range(self.aux_width):
+            a = f.aux(c)
+            an = f.aux(c, 1)
+            term0 = g0 + f.main(c) * g1
+            term1 = g0 + f.main(c, 1) * g1
+            f.assert_zero_first_row(a - term0)
+            f.assert_transition(an - a - term1)
+            f.assert_zero_last_row(a - f.aux_value(c))
+
+    def build_aux_trace(self, main, publics, aux_inputs, randomness):
+        n = main.shape[0]
+        g0, g1 = randomness
+        # terms = γ0 + v·γ1, v = main col c (zero in the bench) → columns of
+        # the running sum built with one device prefix scan each.
+        auxs = []
+        vals = []
+        for c in range(self.aux_width):
+            terms = fp2_broadcast_to(
+                fp2_from_pairs_u64(np.array(g0, dtype=np.uint64)), (n,)
+            )
+            aux_c, val = running_sum_aux(terms)
+            auxs.append(aux_c)
+            vals.extend(val)
+        return np.concatenate(auxs, axis=1), vals
+
+
+class ChipletsShapedAir(Air):
+    """22 main columns, degree ≤ 3, no aux."""
+
+    width = 22
+    num_public_values = 32
+
+    def eval(self, f):
+        for c in range(self.width):
+            a = f.main(c)
+            b = f.main((c + 3) % self.width)
+            nxt = f.main(c, 1)
+            f.assert_transition(nxt * b - a * a * b)
+        f.assert_zero_first_row(f.main(0))
+
+
+class PermShapedAir(Air):
+    """16 main columns with a 16-row periodic cycle column, degree ≤ 3."""
+
+    width = 16
+    num_public_values = 32
+    periodic_columns = [[1] + [0] * 15, [0] * 15 + [1]]
+
+    def eval(self, f):
+        p0 = f.periodic(0)
+        p1 = f.periodic(1)
+        for c in range(self.width):
+            a = f.main(c)
+            nxt = f.main(c, 1)
+            f.assert_zero(p0 * a * a)
+            f.assert_transition(nxt * p1 - a * p1)
+
+
+def miden_shaped_statement(log_core: int):
+    """The Miden height mix: core at 2^log_core, chiplets 4× shorter,
+    poseidon2 16× shorter (cf. execution_trace_optimization.md)."""
+    from .stark.prover import Statement
+
+    airs = MultiAir([CoreShapedAir(), ChipletsShapedAir(), PermShapedAir()])
+    publics = [0] * 32
+    core = np.zeros((1 << log_core, 51), dtype=np.uint64)
+    chip = np.zeros((1 << max(4, log_core - 2), 22), dtype=np.uint64)
+    perm = np.zeros((1 << max(4, log_core - 4), 16), dtype=np.uint64)
+    return Statement(airs, publics), [core, chip, perm]

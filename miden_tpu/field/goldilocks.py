@@ -315,9 +315,24 @@ def fp_pow_const(a: Fp, e: int) -> Fp:
     return result
 
 
+_P_MINUS_2_BITS = np.array(
+    [(gl.P - 2) >> i & 1 for i in range(64)], dtype=np.bool_
+)
+
+
 def fp_inv(a: Fp) -> Fp:
-    """Batch inverse via Fermat: a^(p-2). Fully parallel (no scan)."""
-    return fp_pow_const(a, gl.P - 2)
+    """Batch inverse via Fermat: a^(p-2), square-and-multiply under
+    ``lax.scan`` so the compiled program holds one step, not 64 (keeps XLA
+    compile time flat — the chain unrolled is ~10^4 primitives)."""
+
+    def step(carry, bit):
+        acc, base = carry
+        acc = fp_where(bit, fp_mul(acc, base), acc)
+        return (acc, fp_square(base)), None
+
+    acc0 = fp_ones(a.shape)
+    (acc, _), _ = jax.lax.scan(step, (acc0, a), jnp.asarray(_P_MINUS_2_BITS))
+    return acc
 
 
 def fp_exp_power_of_2(a: Fp, k: int) -> Fp:

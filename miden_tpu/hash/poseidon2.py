@@ -92,15 +92,27 @@ def _sum_rows(s: Fp) -> Fp:
     return acc
 
 
+_ARK_INITIAL_STACK = _const_col(C.ARK_EXT_INITIAL).reshape(4, 12, 1)
+_ARK_TERMINAL_STACK = _const_col(C.ARK_EXT_TERMINAL).reshape(4, 12, 1)
+_ARK_INT_STACK = _const_col(C.ARK_INT).reshape(C.NUM_INTERNAL_ROUNDS, 1)
+
+
 def permute(state: Fp) -> Fp:
-    """Poseidon2 permutation on a batch of states, shape ``(12, n)``."""
+    """Poseidon2 permutation on a batch of states, shape ``(12, n)``.
+
+    Rounds run under ``lax.scan`` so the compiled program contains one
+    external and one internal round body regardless of round count — this
+    keeps XLA compile time flat as the permutation appears in many fused
+    kernels (leaf hashing, every Merkle layer, grinding).
+    """
     assert state.shape[0] == 12
     n = state.shape[-1]
-    s = _mds_external(state)
-    for r in range(C.NUM_EXTERNAL_ROUNDS_HALF):
-        s = _mds_external(_sbox(fp_add(s, _ARK_INITIAL[r])))
-    for r in range(C.NUM_INTERNAL_ROUNDS):
-        s0 = _sbox(fp_add(s[0], _ARK_INT[r][0]))
+
+    def ext_round(s: Fp, rc: Fp) -> tuple:
+        return _mds_external(_sbox(fp_add(s, rc))), None
+
+    def int_round(s: Fp, rc: Fp) -> tuple:
+        s0 = _sbox(fp_add(s[0], rc[0]))
         s = _set_row0(s, s0)
         total = _sum_rows(s)
         diag_term = fp_mul(s, _MAT_DIAG)
@@ -108,9 +120,12 @@ def permute(state: Fp) -> Fp:
             jnp.broadcast_to(total.lo[None], (12, n)),
             jnp.broadcast_to(total.hi[None], (12, n)),
         )
-        s = fp_add(total_b, diag_term)
-    for r in range(C.NUM_EXTERNAL_ROUNDS_HALF):
-        s = _mds_external(_sbox(fp_add(s, _ARK_TERMINAL[r])))
+        return fp_add(total_b, diag_term), None
+
+    s = _mds_external(state)
+    s, _ = jax.lax.scan(ext_round, s, _ARK_INITIAL_STACK)
+    s, _ = jax.lax.scan(int_round, s, _ARK_INT_STACK)
+    s, _ = jax.lax.scan(ext_round, s, _ARK_TERMINAL_STACK)
     return s
 
 
@@ -125,13 +140,19 @@ def hash_blocks(blocks: Fp) -> Fp:
     """
     n_leaves, n_blocks, rate = blocks.shape
     assert rate == 8
-    cap = fp_zeros((4, n_leaves))
-    state = fp_concat([fp_zeros((8, n_leaves)), cap], axis=0)
-    for b in range(n_blocks):
-        chunk = blocks[:, b, :]  # (n_leaves, 8)
+    state = fp_zeros((12, n_leaves))
+
+    # lax.scan over the block axis: one permutation in the compiled body
+    # regardless of row width (compile time stays constant as widths grow).
+    def body(state: Fp, chunk: Fp):
         chunk_t = Fp(chunk.lo.T, chunk.hi.T)  # (8, n_leaves)
         state = fp_concat([chunk_t, state[8:12]], axis=0)
-        state = permute(state)
+        return permute(state), None
+
+    scanned = Fp(
+        jnp.moveaxis(blocks.lo, 1, 0), jnp.moveaxis(blocks.hi, 1, 0)
+    )  # (n_blocks, n_leaves, 8)
+    state, _ = jax.lax.scan(body, state, scanned)
     digest = state[0:4]
     return Fp(digest.lo.T, digest.hi.T)
 

@@ -56,6 +56,10 @@ from ..field.goldilocks import (
 _TWIDDLE_CACHE: dict = {}
 
 
+def _is_tracer(fp: Fp) -> bool:
+    return isinstance(fp.lo, jax.core.Tracer)
+
+
 def _stage_twiddles(log_n: int, inverse: bool):
     """Per-stage twiddle arrays for a size-2^log_n transform.
 
@@ -72,6 +76,8 @@ def _stage_twiddles(log_n: int, inverse: bool):
             if inverse:
                 w = gl.inv(w)
             tws.append(fp_powers(w, max(1, 1 << (log_m - 1))))
+        if any(_is_tracer(t) for t in tws):
+            return tws  # under trace: don't cache tracers
         _TWIDDLE_CACHE[key] = tws
     return _TWIDDLE_CACHE[key]
 
@@ -86,6 +92,8 @@ def shift_powers(shift: int, n: int, bitrev: bool) -> Fp:
         p = fp_powers(shift, n)
         if bitrev and n > 1:
             p = bitrev_perm(p)
+        if _is_tracer(p):
+            return p  # under trace: don't cache tracers
         _POWERS_CACHE[key] = p
     return _POWERS_CACHE[key]
 

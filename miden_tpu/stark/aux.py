@@ -1,0 +1,36 @@
+"""Device-side auxiliary (LogUp) trace builders.
+
+The reference builds LogUp running-sum columns with a fused rayon
+accumulator over 512-row chunks (air/src/lookup/aux_builder.rs:36-303). The
+TPU-native equivalent is a parallel prefix sum: ``jax.lax.associative_scan``
+over exact Goldilocks extension adds — O(log n) depth, fully parallel, and
+shardable across a device mesh (SURVEY.md §5 long-trace scaling).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from ..field.goldilocks import (
+    Fp2,
+    fp2_add,
+    fp2_to_pairs_u64,
+)
+
+
+def prefix_sum_ext(terms: Fp2) -> Fp2:
+    """Inclusive prefix sum of extension elements along axis 0."""
+    return jax.lax.associative_scan(fp2_add, terms, axis=0)
+
+
+def running_sum_aux(terms: Fp2):
+    """Build a 1-column LogUp-style aux trace from per-row terms.
+
+    Returns (aux numpy (n, 1, 2) u64, final_sum (c0, c1)) in the
+    ``Air.build_aux_trace`` contract.
+    """
+    acc = prefix_sum_ext(terms)
+    pairs = fp2_to_pairs_u64(acc)  # (n, 2)
+    final = (int(pairs[-1, 0]), int(pairs[-1, 1]))
+    return pairs[:, None, :].astype(np.uint64), [final]

@@ -23,7 +23,9 @@ prover.rs) with this framework's natural-domain-order conventions:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial as _partial
 
+import jax as _jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,7 +61,10 @@ def coset_points(log_size: int, shift: int) -> Fp:
     key = (log_size, shift % gl.P)
     if key not in _POINTS_CACHE:
         w = gl.two_adic_generator(log_size)
-        _POINTS_CACHE[key] = fp_powers(w, 1 << log_size, shift=shift)
+        p = fp_powers(w, 1 << log_size, shift=shift)
+        if ntt._is_tracer(p):
+            return p  # under trace: don't cache tracers
+        _POINTS_CACHE[key] = p
     return _POINTS_CACHE[key]
 
 
@@ -70,27 +75,33 @@ def _ext_scalar(z: tuple, shape=()) -> Fp2:
 def eval_columns_at(matrix: Fp, shift: int, z: tuple) -> list:
     """Evaluate every column polynomial of ``matrix`` (natural-order evals
     over shift·K) at the extension point z. Returns list of (c0, c1) ints."""
-    m, w = matrix.shape
+    m, _w = matrix.shape
     log_m = m.bit_length() - 1
-    pts = coset_points(log_m, shift)
-    zb = fp2_broadcast_to(_ext_scalar(z), (m,))
-    denom = fp2_sub(zb, Fp2(pts, fp_sub(pts, pts)))
-    weights = fp2_mul_base(fp2_inv(denom), pts)  # x_i / (z - x_i)
+    sums = _weighted_colsum_dev(log_m, shift, matrix, _ext_scalar(z))
     # scale = (z^m - s^m) / (m * s^m)
     zm = gl.ext_exp_power_of_2(z, log_m)
     sm = gl.exp_power_of_2(shift % gl.P, log_m)
     scale = gl.ext_mul_base(
         gl.ext_sub(zm, (sm, 0)), gl.inv(gl.mul(m % gl.P, sm))
     )
-    # weighted column sums: (m, w) base * (m, 1) ext -> sum over rows
+    pairs = fp2_to_pairs_u64(sums)
+    return [gl.ext_mul(scale, (int(p[0]), int(p[1]))) for p in pairs]
+
+
+@_partial(_jax.jit, static_argnums=(0, 1))
+def _weighted_colsum_dev(log_m: int, shift: int, matrix: Fp, z: Fp2) -> Fp2:
+    """Σ_i (x_i/(z−x_i))·f_col(x_i) per column — the barycentric core."""
+    m = 1 << log_m
+    pts = coset_points(log_m, shift)
+    zb = fp2_broadcast_to(z, (m,))
+    denom = fp2_sub(zb, Fp2(pts, fp_sub(pts, pts)))
+    weights = fp2_mul_base(fp2_inv(denom), pts)  # x_i / (z - x_i)
     wcol = Fp2(
         Fp(weights.c0.lo[:, None], weights.c0.hi[:, None]),
         Fp(weights.c1.lo[:, None], weights.c1.hi[:, None]),
     )
     prods = fp2_mul_base(wcol, matrix)  # (m, w) ext
-    sums = fp2_sum_axis0(prods)  # (w,) ext
-    pairs = fp2_to_pairs_u64(sums)
-    return [gl.ext_mul(scale, (int(p[0]), int(p[1]))) for p in pairs]
+    return fp2_sum_axis0(prods)  # (w,) ext
 
 
 @dataclass
@@ -141,7 +152,6 @@ def deep_compose(
 ) -> Fp2:
     """Build the DEEP quotient evaluations over the max LDE domain (natural
     order): ``Q(x) = Σ_j β^j·(f_red(z_j) − f_red(x))·1/(z_j − x)``."""
-    big_n = domain.lde_height
     # α coefficients per aligned column, highest power first (deep/prover.rs
     # Horner convention: column 0 gets α^{W−1}).
     total_w = sum(
@@ -153,34 +163,24 @@ def deep_compose(
         coeffs.append(a)
         a = gl.ext_mul(a, alpha)
     coeffs.reverse()
-
-    # f_red over the max domain: per matrix accumulate over its own height,
-    # then lift (cyclic tile) and add.
     col_iter = iter(coeffs)
-    f_red = None
+    matrices = []
+    coeff_arrays = []
     for tree in trees:
         for matrix in tree.matrices:
-            h, w = matrix.shape
+            w = matrix.shape[1]
             aw = lmcs.aligned_width(w)
             cs = [next(col_iter) for _ in range(aw)][:w]  # pads contribute 0
             if w == 0:
                 continue
-            # Σ_c coeff_c · col_c as one (w,)-batched ext-by-base product
-            carr = _ext_scalar_list(cs)  # Fp2 (w,)
-            crow = Fp2(
-                Fp(carr.c0.lo[None, :], carr.c0.hi[None, :]),
-                Fp(carr.c1.lo[None, :], carr.c1.hi[None, :]),
-            )
-            part = fp2_sum_axis1(fp2_mul_base(crow, matrix))  # (h,) ext
-            part = fp2_tile(part, big_n // h)
-            f_red = part if f_red is None else fp2_add(f_red, part)
+            matrices.append(matrix)
+            coeff_arrays.append(_ext_scalar_list(cs))
 
     # f_red(z_j): Horner over the full aligned claim stream (host ints).
-    pts = coset_points(domain.log_lde_height, domain.lde_shift)
-    zero = fp_sub(pts, pts)
-    acc = None
+    f_red_zs = []
+    bpows = []
     bpow = (1, 0)
-    for j, z in enumerate(zs):
+    for j, _z in enumerate(zs):
         flat = [
             v
             for per_matrix in claims.evals[j]
@@ -190,14 +190,52 @@ def deep_compose(
         f_red_z = (0, 0)
         for v in flat:
             f_red_z = gl.ext_add(gl.ext_mul(f_red_z, alpha), v)
-        zb = fp2_broadcast_to(_ext_scalar(z), (big_n,))
+        f_red_zs.append(f_red_z)
+        bpows.append(bpow)
+        bpow = gl.ext_mul(bpow, beta)
+
+    return _deep_compose_dev(
+        domain,
+        tuple(matrices),
+        tuple(coeff_arrays),
+        _ext_scalar_list(f_red_zs),
+        _ext_scalar_list(list(zs)),
+        _ext_scalar_list(bpows),
+    )
+
+
+@_partial(_jax.jit, static_argnums=(0,))
+def _deep_compose_dev(
+    domain: LiftedDomain,
+    matrices: tuple,
+    coeff_arrays: tuple,
+    f_red_zs: Fp2,
+    zs: Fp2,
+    bpows: Fp2,
+) -> Fp2:
+    big_n = domain.lde_height
+    f_red = None
+    for matrix, carr in zip(matrices, coeff_arrays):
+        h = matrix.shape[0]
+        crow = Fp2(
+            Fp(carr.c0.lo[None, :], carr.c0.hi[None, :]),
+            Fp(carr.c1.lo[None, :], carr.c1.hi[None, :]),
+        )
+        part = fp2_sum_axis1(fp2_mul_base(crow, matrix))  # (h,) ext
+        part = fp2_tile(part, big_n // h)
+        f_red = part if f_red is None else fp2_add(f_red, part)
+
+    pts = coset_points(domain.log_lde_height, domain.lde_shift)
+    zero = fp_sub(pts, pts)
+    acc = None
+    for j in range(zs.shape[0]):
+        zb = fp2_broadcast_to(zs[j], (big_n,))
         inv_den = fp2_inv(fp2_sub(zb, Fp2(pts, zero)))
-        num = fp2_sub(fp2_broadcast_to(_ext_scalar(f_red_z), (big_n,)), f_red)
+        num = fp2_sub(fp2_broadcast_to(f_red_zs[j], (big_n,)), f_red)
         term = fp2_mul(num, inv_den)
         if j > 0:
-            term = fp2_mul(term, fp2_broadcast_to(_ext_scalar(bpow), (big_n,)))
+            term = fp2_mul(term, fp2_broadcast_to(bpows[j], (big_n,)))
         acc = term if acc is None else fp2_add(acc, term)
-        bpow = gl.ext_mul(bpow, beta)
     return acc
 
 
@@ -230,6 +268,11 @@ def ext_to_base_matrix(x: Fp2) -> Fp:
 
 
 def _fold_rows(mat: Fp2, x_inv: Fp, beta: tuple, log_arity: int) -> Fp2:
+    return _fold_rows_dev(log_arity, mat, x_inv, _ext_scalar(beta))
+
+
+@_partial(_jax.jit, static_argnums=(0,))
+def _fold_rows_dev(log_arity: int, mat: Fp2, x_inv: Fp, beta: Fp2) -> Fp2:
     """Fold each row's coset evals: size-arity iDFT + Horner at β/x_k.
 
     mat: (rows, arity) ext with column j = f(x_k·μ^j); x_inv: (rows,) base.
@@ -251,7 +294,7 @@ def _fold_rows(mat: Fp2, x_inv: Fp, beta: tuple, log_arity: int) -> Fp2:
             acc = term if acc is None else fp2_add(acc, term)
         cs.append(acc)
     # x = β·x_inv (ext (rows,)); result = (1/arity)·Σ_t c_t·x^t, Horner.
-    x = fp2_mul_base(fp2_broadcast_to(_ext_scalar(beta), (rows,)), x_inv)
+    x = fp2_mul_base(fp2_broadcast_to(beta, (rows,)), x_inv)
     acc = cs[-1]
     for t in reversed(range(arity - 1)):
         acc = fp2_add(fp2_mul(acc, x), cs[t])
@@ -323,7 +366,7 @@ def fri_commit(params: PcsParams, domain: LiftedDomain, evals: Fp2, channel) -> 
         jnp.stack([cur.c0.lo, cur.c1.lo], axis=1),
         jnp.stack([cur.c0.hi, cur.c1.hi], axis=1),
     )  # (size, 2)
-    coeffs_br = ntt.coset_interpolate_bitrev(comp, cur_shift)
+    coeffs_br = ntt.coset_interpolate_bitrev_jit(comp, cur_shift)
     coeffs = ntt.bitrev_perm(coeffs_br)
     from ..field.goldilocks import fp_to_u64
 

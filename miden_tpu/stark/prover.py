@@ -134,7 +134,36 @@ def evaluate_quotient(
     aux_values: list,
 ) -> Fp2:
     """α-folded constraint evaluation / Z_H over the native quotient coset
-    (prover/constraints/mod.rs:40-130, vectorized)."""
+    (prover/constraints/mod.rs:40-130, vectorized + jitted per AIR/shape)."""
+    alpha_d = _ext_const_vec(alpha, ())
+    pub_d = fp_from_u64(np.asarray([p % gl.P for p in publics], dtype=np.uint64))
+    rand_d = fp2_from_pairs_u64(
+        np.asarray(randomness, dtype=np.uint64).reshape(len(randomness), 2)
+    )
+    auxv_d = fp2_from_pairs_u64(
+        np.asarray(aux_values, dtype=np.uint64).reshape(len(aux_values), 2)
+    )
+    return _evaluate_quotient_dev(
+        air, domain, log_d, main_lde, aux_lde, alpha_d, pub_d, rand_d, auxv_d
+    )
+
+
+from functools import partial as _partial
+import jax as _jax
+
+
+@_partial(_jax.jit, static_argnums=(0, 1, 2))
+def _evaluate_quotient_dev(
+    air: Air,
+    domain: LiftedDomain,
+    log_d: int,
+    main_lde: Fp,
+    aux_lde: Fp,
+    alpha: Fp2,
+    publics: Fp,
+    randomness: Fp2,
+    aux_values: Fp2,
+) -> Fp2:
     n = domain.trace_height
     d = 1 << log_d
     nd = n * d
@@ -192,14 +221,18 @@ def evaluate_quotient(
         Expr(backend, "base", _periodic_on_domain(p, n, log_d, shift))
         for p in air.periodic_columns
     ]
-    pubs = [Expr(backend, "base", pcs._bconst(p, ())) for p in publics]
+    pubs = [
+        Expr(backend, "base", publics[i]) for i in range(publics.shape[0])
+    ]
     rand_e = [
-        Expr(backend, "ext", _ext_const_vec(r, ())) for r in randomness
+        Expr(backend, "ext", randomness[i])
+        for i in range(randomness.shape[0])
     ]
     auxv_e = [
-        Expr(backend, "ext", _ext_const_vec(v, ())) for v in aux_values
+        Expr(backend, "ext", aux_values[i])
+        for i in range(aux_values.shape[0])
     ]
-    alpha_e = Expr(backend, "ext", _ext_const_vec(alpha, ()))
+    alpha_e = Expr(backend, "ext", alpha)
 
     folder = Folder(
         backend,
@@ -233,8 +266,8 @@ def upsample_evals(evals: Fp2, shift: int, added_bits: int) -> Fp2:
         jnp.stack([evals.c0.lo, evals.c1.lo], axis=1),
         jnp.stack([evals.c0.hi, evals.c1.hi], axis=1),
     )
-    coeffs = ntt.coset_interpolate_bitrev(comp, shift)
-    out = ntt.evaluate_coeffs_on_coset(coeffs, added_bits, shift)
+    coeffs = ntt.coset_interpolate_bitrev_jit(comp, shift)
+    out = ntt.evaluate_coeffs_on_coset_jit(coeffs, added_bits, shift)
     return Fp2(out[:, 0], out[:, 1])
 
 
@@ -251,7 +284,7 @@ def commit_quotient(
         jnp.stack([acc.c0.lo, acc.c1.lo], axis=1),
         jnp.stack([acc.c0.hi, acc.c1.hi], axis=1),
     )  # (N·D, 2)
-    coeffs_br = ntt.coset_interpolate_bitrev(comp, shift)
+    coeffs_br = ntt.coset_interpolate_bitrev_jit(comp, shift)
     # Contiguous chunk t (natural coeffs [tN, (t+1)N)) = stride-D slice of the
     # bit-reversed order starting at bitrev_D(t): view (N, D) per component.
     lo = coeffs_br.lo.reshape(n, d, 2)
@@ -260,7 +293,7 @@ def commit_quotient(
     cols_lo = [lo[:, br[t], c] for t in range(d) for c in (0, 1)]
     cols_hi = [hi[:, br[t], c] for t in range(d) for c in (0, 1)]
     chunk_coeffs = Fp(jnp.stack(cols_lo, axis=1), jnp.stack(cols_hi, axis=1))
-    evals = ntt.evaluate_coeffs_on_coset(chunk_coeffs, log_blowup, shift)
+    evals = ntt.evaluate_coeffs_on_coset_jit(chunk_coeffs, log_blowup, shift)
     return lmcs.build_tree([evals])
 
 
