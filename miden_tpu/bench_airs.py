@@ -32,27 +32,26 @@ class CoreShapedAir(Air):
     num_public_values = 32
 
     def eval(self, f):
+        w = self.width
         # degree-3 transition family across all columns (vanishes at 0)
-        for c in range(self.width):
-            a = f.main(c)
-            b = f.main((c + 1) % self.width)
-            nxt = f.main(c, 1)
-            f.assert_transition(nxt * a - a * a * b)
-        # boundary family against the 32 public values
-        for c in range(min(16, self.width)):
-            f.assert_zero_first_row(f.main(c) - f.public(c))
-            f.assert_zero_last_row(f.main(c) - f.public(16 + c))
+        a = f.main_many(range(w))
+        b = f.main_many([(c + 1) % w for c in range(w)])
+        nxt = f.main_many(range(w), 1)
+        f.assert_transition_many(nxt * a - a * a * b)
+        # boundary families against the 32 public values
+        head = f.main_many(range(16))
+        f.assert_zero_first_row_many(head - f.public_many(range(16)))
+        f.assert_zero_last_row_many(head - f.public_many(range(16, 32)))
         # aux running-sum constraints per EF column
         g0 = f.rand(0)
         g1 = f.rand(1)
-        for c in range(self.aux_width):
-            a = f.aux(c)
-            an = f.aux(c, 1)
-            term0 = g0 + f.main(c) * g1
-            term1 = g0 + f.main(c, 1) * g1
-            f.assert_zero_first_row(a - term0)
-            f.assert_transition(an - a - term1)
-            f.assert_zero_last_row(a - f.aux_value(c))
+        av = f.aux_many(range(self.aux_width))
+        avn = f.aux_many(range(self.aux_width), 1)
+        m0 = f.main_many(range(self.aux_width))
+        m1 = f.main_many(range(self.aux_width), 1)
+        f.assert_zero_first_row_many(av - (m0 * g1 + g0))
+        f.assert_transition_many(avn - av - (m1 * g1 + g0))
+        f.assert_zero_last_row_many(av - f.aux_value_many(range(self.aux_width)))
 
     def build_aux_trace(self, main, publics, aux_inputs, randomness):
         n = main.shape[0]
@@ -78,11 +77,11 @@ class ChipletsShapedAir(Air):
     num_public_values = 32
 
     def eval(self, f):
-        for c in range(self.width):
-            a = f.main(c)
-            b = f.main((c + 3) % self.width)
-            nxt = f.main(c, 1)
-            f.assert_transition(nxt * b - a * a * b)
+        w = self.width
+        a = f.main_many(range(w))
+        b = f.main_many([(c + 3) % w for c in range(w)])
+        nxt = f.main_many(range(w), 1)
+        f.assert_transition_many(nxt * b - a * a * b)
         f.assert_zero_first_row(f.main(0))
 
 
@@ -96,11 +95,10 @@ class PermShapedAir(Air):
     def eval(self, f):
         p0 = f.periodic(0)
         p1 = f.periodic(1)
-        for c in range(self.width):
-            a = f.main(c)
-            nxt = f.main(c, 1)
-            f.assert_zero(p0 * a * a)
-            f.assert_transition(nxt * p1 - a * p1)
+        a = f.main_many(range(self.width))
+        nxt = f.main_many(range(self.width), 1)
+        f.assert_zero_many(a * a * p0)
+        f.assert_transition_many((nxt - a) * p1)
 
 
 def miden_shaped_statement(log_core: int):

@@ -482,6 +482,21 @@ def fp2_broadcast_to(x: Fp2, shape) -> Fp2:
     return Fp2(fp_broadcast_to(x.c0, shape), fp_broadcast_to(x.c1, shape))
 
 
+def fp2_powers(base: Fp2, n: int) -> Fp2:
+    """Powers ``[1, base, ..., base^(n-1)]`` of a runtime extension scalar,
+    built with log2(n) masked multiplies (no O(n) unrolled chain)."""
+    assert n > 0
+    idx = jnp.arange(n, dtype=U32)
+    acc = fp2_ones((n,))
+    b = base
+    for bit in range(max(1, (n - 1).bit_length())):
+        stepped = fp2_mul(acc, fp2_broadcast_to(b, (n,)))
+        use = ((idx >> bit) & 1).astype(bool)
+        acc = fp2_where(use, stepped, acc)
+        b = fp2_mul(b, b)
+    return acc
+
+
 def fp2_sum_axis0(x: Fp2) -> Fp2:
     return Fp2(fp_sum_axis0(x.c0), fp_sum_axis0(x.c1))
 

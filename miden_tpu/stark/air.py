@@ -84,34 +84,57 @@ class VectorBackend:
 
 
 class ScalarBackend:
-    """Values are Python ints (base) / (c0, c1) tuples (ext)."""
+    """Values are Python ints (base) / (c0, c1) tuples (ext).
+
+    Stacked constraint families (``main_many`` / ``assert_*_many``) are
+    represented as Python lists and operate elementwise, mirroring the
+    vector backend's leading group axis.
+    """
 
     kind = "scalar"
 
     def const(self, c: int):
         return c % gl.P
 
+    def _zip(self, a, b, f):
+        if isinstance(a, list) or isinstance(b, list):
+            if not isinstance(a, list):
+                a = [a] * len(b)
+            if not isinstance(b, list):
+                b = [b] * len(a)
+            assert len(a) == len(b)
+            return [f(x, y) for x, y in zip(a, b)]
+        return f(a, b)
+
     def add(self, a, b, ka, kb):
         if ka == "base" and kb == "base":
-            return gl.add(a, b)
-        return gl.ext_add(self._ext(a, ka), self._ext(b, kb))
+            return self._zip(a, b, gl.add)
+        return self._zip(
+            self._ext(a, ka), self._ext(b, kb), gl.ext_add
+        )
 
     def sub(self, a, b, ka, kb):
         if ka == "base" and kb == "base":
-            return gl.sub(a, b)
-        return gl.ext_sub(self._ext(a, ka), self._ext(b, kb))
+            return self._zip(a, b, gl.sub)
+        return self._zip(
+            self._ext(a, ka), self._ext(b, kb), gl.ext_sub
+        )
 
     def mul(self, a, b, ka, kb):
         if ka == "base" and kb == "base":
-            return gl.mul(a, b)
+            return self._zip(a, b, gl.mul)
         if ka == "base":
-            return gl.ext_mul_base(b, a)
+            return self._zip(b, a, lambda x, y: gl.ext_mul_base(x, y))
         if kb == "base":
-            return gl.ext_mul_base(a, b)
-        return gl.ext_mul(a, b)
+            return self._zip(a, b, lambda x, y: gl.ext_mul_base(x, y))
+        return self._zip(a, b, gl.ext_mul)
 
     def _ext(self, v, k):
-        return v if k == "ext" else (v, 0)
+        if k == "ext":
+            return v
+        if isinstance(v, list):
+            return [(x, 0) for x in v]
+        return (v, 0)
 
 
 class DegreeBackend:
@@ -213,6 +236,7 @@ class Folder:
         self._aux_values = list(aux_values)
         self._selectors = selectors
         self._alpha = alpha
+        self._alpha_pow_arr = None  # memoized device powers of α
         self.acc = None  # α-folded accumulator (ext Expr)
         self.num_constraints = 0
 
@@ -222,6 +246,93 @@ class Folder:
 
     def aux(self, col: int, offset: int = 0) -> Expr:
         return self._aux(col, offset)
+
+    def main_many(self, cols, offset: int = 0) -> Expr:
+        """Stacked access to a list of main columns (one Expr with a leading
+        group axis). Keeps the compiled constraint program size independent
+        of the family width — homogeneous constraint families should use
+        this plus ``assert_*_many``."""
+        cols = list(cols)
+        if isinstance(self.backend, DegreeBackend):
+            return Expr(self.backend, "base", 1)
+        if isinstance(self.backend, ScalarBackend):
+            return Expr(
+                self.backend, "ext", [self._main(c, offset).val for c in cols]
+            )
+        vals = [self._main(c, offset).val for c in cols]
+        from ..field.goldilocks import Fp as _Fp
+        import jax.numpy as _jnp
+
+        return Expr(
+            self.backend,
+            "base",
+            _Fp(
+                _jnp.stack([v.lo for v in vals], axis=0),
+                _jnp.stack([v.hi for v in vals], axis=0),
+            ),
+        )
+
+    def aux_many(self, cols, offset: int = 0) -> Expr:
+        cols = list(cols)
+        if isinstance(self.backend, DegreeBackend):
+            return Expr(self.backend, "base", 1)
+        if isinstance(self.backend, ScalarBackend):
+            return Expr(
+                self.backend, "ext", [self._aux(c, offset).val for c in cols]
+            )
+        vals = [self._aux(c, offset).val for c in cols]
+        from ..field.goldilocks import Fp as _Fp, Fp2 as _Fp2
+        import jax.numpy as _jnp
+
+        def stk(sel):
+            return _Fp(
+                _jnp.stack([sel(v).lo for v in vals], axis=0),
+                _jnp.stack([sel(v).hi for v in vals], axis=0),
+            )
+
+        return Expr(
+            self.backend,
+            "ext",
+            _Fp2(stk(lambda v: v.c0), stk(lambda v: v.c1)),
+        )
+
+    def public_many(self, idxs) -> Expr:
+        idxs = list(idxs)
+        if isinstance(self.backend, DegreeBackend):
+            return Expr(self.backend, "base", 0)
+        if isinstance(self.backend, ScalarBackend):
+            return Expr(self.backend, "base", [self._publics[i].val for i in idxs])
+        vals = [self._publics[i].val for i in idxs]
+        from ..field.goldilocks import Fp as _Fp
+        import jax.numpy as _jnp
+
+        stacked = _Fp(
+            _jnp.stack([v.lo for v in vals], axis=0)[:, None],
+            _jnp.stack([v.hi for v in vals], axis=0)[:, None],
+        )
+        return Expr(self.backend, "base", stacked)
+
+    def aux_value_many(self, idxs) -> Expr:
+        idxs = list(idxs)
+        if isinstance(self.backend, DegreeBackend):
+            return Expr(self.backend, "base", 0)
+        if isinstance(self.backend, ScalarBackend):
+            return Expr(
+                self.backend, "ext", [self._aux_values[i].val for i in idxs]
+            )
+        vals = [self._aux_values[i].val for i in idxs]
+        from ..field.goldilocks import Fp as _Fp, Fp2 as _Fp2
+        import jax.numpy as _jnp
+
+        def stk(sel):
+            return _Fp(
+                _jnp.stack([sel(v).lo for v in vals], axis=0)[:, None],
+                _jnp.stack([sel(v).hi for v in vals], axis=0)[:, None],
+            )
+
+        return Expr(
+            self.backend, "ext", _Fp2(stk(lambda v: v.c0), stk(lambda v: v.c1))
+        )
 
     def periodic(self, i: int) -> Expr:
         return self._periodic[i]
@@ -281,6 +392,68 @@ class Folder:
     def assert_transition(self, e: Expr) -> None:
         """Constraint holding on every row but the last."""
         self._fold(e * self.is_transition())
+
+    # --- stacked (family) sinks ---
+    def _fold_many(self, e: Expr) -> None:
+        """Fold a stacked family of G constraints in one step:
+        ``acc ← acc·α^G + Σ_g α^{G−1−g}·c_g`` — identical to folding the G
+        constraints individually, but with a compiled program size
+        independent of G."""
+        if isinstance(self.backend, DegreeBackend):
+            self.num_constraints += 1
+            self.acc = e.val if self.acc is None else max(self.acc, e.val)
+            return
+        if isinstance(self.backend, ScalarBackend):
+            vals = e.val if isinstance(e.val, list) else [e.val]
+            for v in vals:
+                self._fold(Expr(self.backend, e.kind, v))
+            return
+        # vector backend
+        from ..field.goldilocks import (
+            Fp as _Fp,
+            Fp2 as _Fp2,
+            fp2_mul,
+            fp2_sum_axis0,
+        )
+
+        val = e.val
+        if e.kind == "base":
+            from ..field.goldilocks import fp_sub as _fp_sub
+
+            val = _Fp2(val, _fp_sub(val, val))
+        g = val.shape[0]
+        self.num_constraints += g
+        from ..field.goldilocks import fp2_powers
+
+        # powers [1, α, ..., α^G] in log2(G) masked multiplies, memoized
+        # across families (a prefix of a longer power array is reusable).
+        if self._alpha_pow_arr is None or self._alpha_pow_arr.shape[0] < g + 1:
+            self._alpha_pow_arr = fp2_powers(self._alpha.val, g + 1)
+        pws = self._alpha_pow_arr  # (>=G+1,) ext
+        desc = pws[0:g]
+        desc = _Fp2(
+            _Fp(desc.c0.lo[::-1][:, None], desc.c0.hi[::-1][:, None]),
+            _Fp(desc.c1.lo[::-1][:, None], desc.c1.hi[::-1][:, None]),
+        )  # (G, 1) ext, descending
+        folded = fp2_sum_axis0(fp2_mul(desc, val))  # (nd,) ext
+        folded_e = Expr(self.backend, "ext", folded)
+        alpha_g = Expr(self.backend, "ext", pws[g])
+        if self.acc is None:
+            self.acc = folded_e
+        else:
+            self.acc = self.acc * alpha_g + folded_e
+
+    def assert_zero_many(self, e: Expr) -> None:
+        self._fold_many(e)
+
+    def assert_zero_first_row_many(self, e: Expr) -> None:
+        self._fold_many(e * self.is_first_row())
+
+    def assert_zero_last_row_many(self, e: Expr) -> None:
+        self._fold_many(e * self.is_last_row())
+
+    def assert_transition_many(self, e: Expr) -> None:
+        self._fold_many(e * self.is_transition())
 
 
 # ---------------------------------------------------------------------------

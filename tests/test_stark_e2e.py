@@ -158,3 +158,26 @@ def test_tampered_transcript_rejected():
     out.proof.data.fields[3] = (out.proof.data.fields[3] + 1) % gl.P
     with pytest.raises(Exception):
         verify(TEST_PARAMS, st, out.proof, DuplexChallenger(SEED))
+
+
+class FamilyAir(Air):
+    """Exercises the stacked constraint-family API (main_many/assert_*_many):
+    must fold identically across the vector (prover) and scalar (verifier)
+    backends."""
+
+    width = 6
+    num_public_values = 3
+
+    def eval(self, f):
+        a = f.main_many(range(self.width))
+        nxt = f.main_many(range(self.width), 1)
+        b = f.main_many([(c + 1) % self.width for c in range(self.width)])
+        f.assert_transition_many(nxt * a - a * a * b)
+        f.assert_zero_first_row_many(f.main_many(range(3)) - f.public_many(range(3)))
+        f.assert_zero(f.main(0) * f.main(1))
+
+
+def test_family_api_roundtrip():
+    tr = np.zeros((8, 6), dtype=np.uint64)
+    st = Statement(MultiAir([FamilyAir()]), [0, 0, 0])
+    _roundtrip(st, [tr])
