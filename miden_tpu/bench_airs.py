@@ -108,7 +108,16 @@ def miden_shaped_statement(log_core: int):
 
     airs = MultiAir([CoreShapedAir(), ChipletsShapedAir(), PermShapedAir()])
     publics = [0] * 32
-    core = np.zeros((1 << log_core, 51), dtype=np.uint64)
-    chip = np.zeros((1 << max(4, log_core - 2), 22), dtype=np.uint64)
-    perm = np.zeros((1 << max(4, log_core - 4), 16), dtype=np.uint64)
+
+    # Device-resident zero traces: the benched quantity is proving, not the
+    # (tunnel-limited) host→device trace transfer.
+    import jax.numpy as jnp
+    from .field.goldilocks import Fp
+
+    def zeros(n, w):
+        return Fp(jnp.zeros((n, w), jnp.uint32), jnp.zeros((n, w), jnp.uint32))
+
+    core = zeros(1 << log_core, 51)
+    chip = zeros(1 << max(4, log_core - 2), 22)
+    perm = zeros(1 << max(4, log_core - 4), 16)
     return Statement(airs, publics), [core, chip, perm]

@@ -112,11 +112,36 @@ def _lift_pad_concat(matrices: list, heights: list, max_h: int) -> Fp:
     return Fp(jnp.concatenate(parts_lo, axis=1), jnp.concatenate(parts_hi, axis=1))
 
 
+import jax as _jax
+
+
+@_jax.jit
+def _commit_dev(matrices: tuple) -> tuple:
+    """Lift+pad+concat, leaf-hash, and fold every Merkle layer in ONE
+    compiled program (one device dispatch per tree)."""
+    matrices = list(matrices)
+    heights = [m.shape[0] for m in matrices]
+    max_h = max(heights)
+    flat = _lift_pad_concat(matrices, heights, max_h)
+    total_w = flat.shape[1]
+    blocks = flat.reshape(max_h, total_w // ALIGNMENT, ALIGNMENT)
+    leaves = poseidon2.hash_blocks(blocks)  # (max_h, 4)
+    layers = [leaves]
+    cur = leaves
+    while cur.shape[0] > 1:
+        n = cur.shape[0]
+        left = Fp(cur.lo.reshape(n // 2, 2, 4)[:, 0], cur.hi.reshape(n // 2, 2, 4)[:, 0])
+        right = Fp(cur.lo.reshape(n // 2, 2, 4)[:, 1], cur.hi.reshape(n // 2, 2, 4)[:, 1])
+        cur = poseidon2.compress_pairs(left, right)
+        layers.append(cur)
+    return tuple(layers)
+
+
 def build_tree(matrices: Sequence[Fp]) -> LmcsTree:
     """Commit to matrices (natural domain order, heights powers of two).
 
-    All heights must divide the max height. Leaf hashing and every tree
-    layer run as batched Poseidon2 on device.
+    All heights must divide the max height. The entire commitment — leaf
+    hashing + every layer — is one jitted device call.
     """
     matrices = list(matrices)
     heights = [m.shape[0] for m in matrices]
@@ -124,20 +149,7 @@ def build_tree(matrices: Sequence[Fp]) -> LmcsTree:
     max_h = max(heights)
     for h in heights:
         assert max_h % h == 0 and (h & (h - 1)) == 0, "heights must be powers of two"
-
-    flat = _lift_pad_concat(matrices, heights, max_h)
-    total_w = flat.shape[1]
-    blocks = flat.reshape(max_h, total_w // ALIGNMENT, ALIGNMENT)
-    leaves = poseidon2.hash_blocks_jit(blocks)  # (max_h, 4)
-
-    layers = [leaves]
-    cur = leaves
-    while cur.shape[0] > 1:
-        n = cur.shape[0]
-        left = Fp(cur.lo.reshape(n // 2, 2, 4)[:, 0], cur.hi.reshape(n // 2, 2, 4)[:, 0])
-        right = Fp(cur.lo.reshape(n // 2, 2, 4)[:, 1], cur.hi.reshape(n // 2, 2, 4)[:, 1])
-        cur = poseidon2.compress_pairs_jit(left, right)
-        layers.append(cur)
+    layers = list(_commit_dev(tuple(matrices)))
     return LmcsTree(matrices=matrices, heights=heights, widths=widths, layers=layers)
 
 

@@ -313,6 +313,33 @@ class FriProver:
     final_poly: list  # descending-order ext coefficients
 
 
+@_partial(_jax.jit, static_argnums=(0,))
+def _fri_round_prep(log_arity: int, cur: Fp2) -> tuple:
+    """Reshape natural-order evals into the (rows, arity) coset matrix and
+    its flattened base commitment matrix — one dispatch per round."""
+    arity = 1 << log_arity
+    n_rows = cur.shape[0] >> log_arity
+    mat = Fp2(
+        Fp(
+            cur.c0.lo.reshape(arity, n_rows).T,
+            cur.c0.hi.reshape(arity, n_rows).T,
+        ),
+        Fp(
+            cur.c1.lo.reshape(arity, n_rows).T,
+            cur.c1.hi.reshape(arity, n_rows).T,
+        ),
+    )
+    return mat, ext_to_base_matrix(mat)
+
+
+@_partial(_jax.jit, static_argnums=(0, 1))
+def _x_inv_step(log_arity: int, next_rows: int, x_inv: Fp) -> Fp:
+    nx = x_inv[:next_rows]
+    for _ in range(log_arity):
+        nx = fp_mul(nx, nx)
+    return nx
+
+
 def fri_commit(params: PcsParams, domain: LiftedDomain, evals: Fp2, channel) -> FriProver:
     """FRI commit phase (pcs/fri/prover.rs:93-242, natural-order variant)."""
     log_arity = params.log_folding_arity
@@ -333,18 +360,8 @@ def fri_commit(params: PcsParams, domain: LiftedDomain, evals: Fp2, channel) -> 
     cur_shift = shift
     while size > final_domain_size:
         n_rows = size >> log_arity
-        # rows k: [E[k + j·n_rows] for j] — reshape (arity, n_rows) → T.
-        mat = Fp2(
-            Fp(
-                cur.c0.lo.reshape(arity, n_rows).T,
-                cur.c0.hi.reshape(arity, n_rows).T,
-            ),
-            Fp(
-                cur.c1.lo.reshape(arity, n_rows).T,
-                cur.c1.hi.reshape(arity, n_rows).T,
-            ),
-        )
-        tree = lmcs.build_tree([ext_to_base_matrix(mat)])
+        mat, mat_base = _fri_round_prep(log_arity, cur)
+        tree = lmcs.build_tree([mat_base])
         channel.send_commitment(tree.root())
         channel.grind(params.folding_pow_bits)
         beta = channel.sample_ext()
@@ -353,11 +370,7 @@ def fri_commit(params: PcsParams, domain: LiftedDomain, evals: Fp2, channel) -> 
         size = n_rows
         cur_shift = gl.exp_power_of_2(cur_shift, log_arity)
         if size > final_domain_size:
-            next_rows = size >> log_arity
-            nx = x_inv[:next_rows]
-            for _ in range(log_arity):
-                nx = fp_mul(nx, nx)
-            x_inv = nx
+            x_inv = _x_inv_step(log_arity, size >> log_arity, x_inv)
 
     # Final polynomial: interpolate over its coset, truncate to the degree
     # bound, send descending-order coefficients.

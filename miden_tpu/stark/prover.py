@@ -95,17 +95,21 @@ def _ext_const_vec(v: tuple, shape) -> Fp2:
     )
 
 
-def commit_traces(matrices_u64: list, log_blowup: int) -> lmcs.LmcsTree:
-    """LDE each trace on its canonical coset and commit into one tree."""
+def commit_traces(matrices: list, log_blowup: int) -> lmcs.LmcsTree:
+    """LDE each trace on its canonical coset and commit into one tree.
+
+    Accepts host numpy u64 matrices or device-resident ``Fp`` matrices
+    (avoids a host→device copy when the trace is produced on device)."""
     ldes = []
-    for m in matrices_u64:
+    for m in matrices:
         n, w = m.shape
         if w == 0:
             ldes.append(Fp(jnp.zeros((n << log_blowup, 0), dtype=jnp.uint32),
                            jnp.zeros((n << log_blowup, 0), dtype=jnp.uint32)))
             continue
+        mf = m if isinstance(m, Fp) else fp_from_u64(m)
         shift = gl.canonical_lde_shift((n.bit_length() - 1) + log_blowup)
-        ldes.append(ntt.coset_lde_jit(fp_from_u64(m), log_blowup, shift))
+        ldes.append(ntt.coset_lde_jit(mf, log_blowup, shift))
     return lmcs.build_tree(ldes)
 
 
@@ -259,32 +263,40 @@ def _evaluate_quotient_dev(
     return fp2_mul_base(acc.val, inv_tile)
 
 
-def upsample_evals(evals: Fp2, shift: int, added_bits: int) -> Fp2:
-    """LDE ext evals (natural, shift s) from size L to L·2^added_bits on the
-    same shift (quotient.rs:45 upsample)."""
-    comp = Fp(
+@_jax.jit
+def _ext_to_2col(evals: Fp2) -> Fp:
+    return Fp(
         jnp.stack([evals.c0.lo, evals.c1.lo], axis=1),
         jnp.stack([evals.c0.hi, evals.c1.hi], axis=1),
     )
-    coeffs = ntt.coset_interpolate_bitrev_jit(comp, shift)
-    out = ntt.evaluate_coeffs_on_coset_jit(coeffs, added_bits, shift)
+
+
+@_partial(_jax.jit, static_argnums=(1, 2))
+def upsample_evals(evals: Fp2, shift: int, added_bits: int) -> Fp2:
+    """LDE ext evals (natural, shift s) from size L to L·2^added_bits on the
+    same shift (quotient.rs:45 upsample)."""
+    comp = _ext_to_2col(evals)
+    coeffs = ntt.coset_interpolate_bitrev(comp, shift)
+    out = ntt.evaluate_coeffs_on_coset(coeffs, added_bits, shift)
     return Fp2(out[:, 0], out[:, 1])
 
 
-def commit_quotient(
-    acc: Fp2, domain: LiftedDomain, log_d: int, log_blowup: int
-) -> lmcs.LmcsTree:
-    """Split Q (evals over (s_K, N·D)) into D contiguous degree-<N chunks and
-    commit their LDEs on (s_K, N·B) as one 2D-column matrix
-    (quotient.rs:143-216's fused transform, batched in one NTT)."""
+@_partial(_jax.jit, static_argnums=(0,))
+def _accumulate_step(reps: int, acc: Fp2, q: Fp2, beta: Fp2) -> Fp2:
+    """acc ← lift(acc)·β + q (Horner across AIRs under cyclic lifting)."""
+    target = acc.shape[0] * reps
+    return fp2_add(
+        fp2_mul(fp2_tile(acc, reps), fp2_broadcast_to(beta, (target,))), q
+    )
+
+
+@_partial(_jax.jit, static_argnums=(1, 2, 3))
+def _quotient_chunks_dev(acc: Fp2, domain: LiftedDomain, log_d: int, log_blowup: int) -> Fp:
     n = domain.trace_height
     d = 1 << log_d
     shift = domain.lde_shift
-    comp = Fp(
-        jnp.stack([acc.c0.lo, acc.c1.lo], axis=1),
-        jnp.stack([acc.c0.hi, acc.c1.hi], axis=1),
-    )  # (N·D, 2)
-    coeffs_br = ntt.coset_interpolate_bitrev_jit(comp, shift)
+    comp = _ext_to_2col(acc)  # (N·D, 2)
+    coeffs_br = ntt.coset_interpolate_bitrev(comp, shift)
     # Contiguous chunk t (natural coeffs [tN, (t+1)N)) = stride-D slice of the
     # bit-reversed order starting at bitrev_D(t): view (N, D) per component.
     lo = coeffs_br.lo.reshape(n, d, 2)
@@ -293,8 +305,16 @@ def commit_quotient(
     cols_lo = [lo[:, br[t], c] for t in range(d) for c in (0, 1)]
     cols_hi = [hi[:, br[t], c] for t in range(d) for c in (0, 1)]
     chunk_coeffs = Fp(jnp.stack(cols_lo, axis=1), jnp.stack(cols_hi, axis=1))
-    evals = ntt.evaluate_coeffs_on_coset_jit(chunk_coeffs, log_blowup, shift)
-    return lmcs.build_tree([evals])
+    return ntt.evaluate_coeffs_on_coset(chunk_coeffs, log_blowup, shift)
+
+
+def commit_quotient(
+    acc: Fp2, domain: LiftedDomain, log_d: int, log_blowup: int
+) -> lmcs.LmcsTree:
+    """Split Q (evals over (s_K, N·D)) into D contiguous degree-<N chunks and
+    commit their LDEs on (s_K, N·B) as one 2D-column matrix
+    (quotient.rs:143-216's fused transform, batched in one NTT)."""
+    return lmcs.build_tree([_quotient_chunks_dev(acc, domain, log_d, log_blowup)])
 
 
 def prove(
@@ -311,7 +331,7 @@ def prove(
     log_blowup = params.log_blowup
     log_heights = [t.shape[0].bit_length() - 1 for t in traces]
     for t, a in zip(traces, airs):
-        assert t.shape == (1 << (t.shape[0].bit_length() - 1), a.width)
+        assert tuple(t.shape) == (1 << (t.shape[0].bit_length() - 1), a.width)
 
     order = proof_order(log_heights)
     max_log_h = max(log_heights)
@@ -387,13 +407,7 @@ def prove(
             acc = q
         else:
             reps = target // acc.shape[0]
-            acc = fp2_add(
-                fp2_mul(
-                    fp2_tile(acc, reps),
-                    _ext_const_vec(beta, (target,)),
-                ),
-                q,
-            )
+            acc = _accumulate_step(reps, acc, q, _ext_const_vec(beta, ()))
     # 5. Commit quotient.
     quotient_tree = commit_quotient(acc, max_domain, log_d, log_blowup)
     channel.send_commitment(quotient_tree.root())
