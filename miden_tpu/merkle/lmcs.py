@@ -180,14 +180,40 @@ def sibling_schedule(indices: Sequence[int], depth: int) -> list:
 def prove_batch(tree: LmcsTree, indices: Sequence[int], channel) -> None:
     """Open the tree at sorted-unique ``indices`` (tree's own domain order),
     streaming hints: aligned rows per index per matrix, then the sibling
-    digests per :func:`sibling_schedule`."""
+    digests per :func:`sibling_schedule`.
+
+    All sibling digests are gathered in a single batched device transfer
+    (one per tree) — per-digest round-trips dominate over a slow link."""
+    import jax.numpy as jnp
+
     indices = sorted(set(indices))
     depth = (tree.height - 1).bit_length()
     for per_matrix in tree.aligned_rows_at(indices):
         for row in per_matrix:
             channel.hint_field_slice([int(v) for v in row])
-    for level, node in sibling_schedule(indices, depth):
-        channel.hint_commitment(tuple(int(v) for v in tree.digest_at(level, node)))
+    sched = sibling_schedule(indices, depth)
+    if not sched:
+        return
+    per_level: dict = {}
+    for level, node in sched:
+        per_level.setdefault(level, []).append(node)
+    parts = []
+    keys = []
+    for level in sorted(per_level):
+        nodes = per_level[level]
+        layer = tree.layers[level]
+        idx = jnp.asarray(nodes, dtype=jnp.int32)
+        parts.append(Fp(layer.lo[idx], layer.hi[idx]))
+        keys.extend((level, n) for n in nodes)
+    gathered = fp_to_u64(
+        Fp(
+            jnp.concatenate([p.lo for p in parts], axis=0),
+            jnp.concatenate([p.hi for p in parts], axis=0),
+        )
+    )
+    digest_map = {k: gathered[i] for i, k in enumerate(keys)}
+    for key in sched:
+        channel.hint_commitment(tuple(int(v) for v in digest_map[key]))
 
 
 def verify_batch(

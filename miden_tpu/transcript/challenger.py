@@ -32,6 +32,36 @@ RATE = 8
 WIDTH = 12
 
 
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..field.goldilocks import Fp
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _grind_batch(pos: int, bits: int, batch: int, base: "Fp", start):
+    """Screen ``batch`` PoW witness candidates [start, start+batch) fully on
+    device. Witnesses stay < 2^32 (overwhelmingly sufficient for ≤ 24-bit
+    PoW), so the candidate lane is just a uint32 iota in the low limb."""
+    ws = jnp.arange(batch, dtype=jnp.uint32) + jnp.uint32(start)
+    lo = jnp.broadcast_to(base.lo, (12, batch))
+    hi = jnp.broadcast_to(base.hi, (12, batch))
+    lo = lo.at[pos].set(ws)
+    hi = hi.at[pos].set(jnp.zeros((batch,), jnp.uint32))
+    out = poseidon2.permute(Fp(lo, hi))
+    lane_lo = out.lo[RATE - 1]
+    lane_hi = out.hi[RATE - 1]
+    mask_lo = jnp.uint32((1 << min(bits, 32)) - 1)
+    ok = (lane_lo & mask_lo) == 0
+    if bits > 32:
+        mask_hi = jnp.uint32((1 << (bits - 32)) - 1)
+        ok &= (lane_hi & mask_hi) == 0
+    idx = jnp.argmax(ok)
+    return idx, ok[idx]
+
+
 class DuplexChallenger:
     def __init__(self, capacity_seed=None):
         self.state = [0] * WIDTH
@@ -86,28 +116,22 @@ class DuplexChallenger:
     def grind(self, bits: int) -> int:
         """Find a witness w with ``sample_bits(bits) == 0`` after observing w.
 
-        Candidates are screened in device batches: for each batch, build the
-        post-duplex states for ``state[pos] = w`` over all w and test lane 7
-        (the first sampled element — output pops from the end of the rate).
-        """
+        Candidates are generated and screened **on device** in one dispatch
+        per batch: build the post-duplex states for ``state[pos] = w`` over a
+        candidate range and test lane 7 (the first sampled element — output
+        pops from the end of the rate). Only the winning index crosses the
+        link."""
         pos = len(self.input_buffer)
         base = list(self.state)
         for i, v in enumerate(self.input_buffer):
             base[i] = v
-        mask = (1 << bits) - 1
-        batch = max(1024, 4 << bits)
+        batch = max(4096, 8 << bits)
+        base_fp = fp_from_u64(np.asarray(base, dtype=np.uint64)[:, None])
         start = 0
         while True:
-            ws = np.arange(start, start + batch, dtype=np.uint64)
-            states = np.tile(
-                np.asarray(base, dtype=np.uint64)[:, None], (1, len(ws))
-            )
-            states[pos] = ws
-            out = poseidon2.permute_jit(fp_from_u64(states))
-            lane = fp_to_u64(out)[RATE - 1]
-            hits = np.nonzero((lane & np.uint64(mask)) == 0)[0]
-            if hits.size:
-                witness = int(ws[hits[0]])
+            idx, found = _grind_batch(pos, bits, batch, base_fp, start)
+            if bool(found):
+                witness = start + int(idx)
                 ok = self.check_witness(bits, witness)
                 assert ok, "device grind disagrees with host challenger"
                 return witness
