@@ -19,7 +19,6 @@ import numpy as np
 from .field import gl
 from .field.goldilocks import Fp2, fp2_broadcast_to, fp2_from_pairs_u64
 from .stark.air import Air, MultiAir
-from .stark.aux import running_sum_aux
 
 
 class CoreShapedAir(Air):
@@ -56,18 +55,18 @@ class CoreShapedAir(Air):
     def build_aux_trace(self, main, publics, aux_inputs, randomness):
         n = main.shape[0]
         g0, g1 = randomness
-        # terms = γ0 + v·γ1, v = main col c (zero in the bench) → columns of
-        # the running sum built with one device prefix scan each.
-        auxs = []
-        vals = []
-        for c in range(self.aux_width):
-            terms = fp2_broadcast_to(
-                fp2_from_pairs_u64(np.array(g0, dtype=np.uint64)), (n,)
-            )
-            aux_c, val = running_sum_aux(terms)
-            auxs.append(aux_c)
-            vals.extend(val)
-        return np.concatenate(auxs, axis=1), vals
+        # terms = γ0 + v·γ1, v = main col c (zero in the bench): one device
+        # prefix scan builds all 8 columns; result stays on device.
+        from .stark.aux import running_sum_aux_columns
+        from .field.goldilocks import fp2_to_pairs_u64
+
+        terms = fp2_broadcast_to(
+            fp2_from_pairs_u64(np.array(g0, dtype=np.uint64)),
+            (n, self.aux_width),
+        )
+        interleaved, final = running_sum_aux_columns(terms)
+        vals = [tuple(int(x) for x in p) for p in fp2_to_pairs_u64(final)]
+        return interleaved, vals
 
 
 class ChipletsShapedAir(Air):

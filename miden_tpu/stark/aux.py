@@ -34,3 +34,21 @@ def running_sum_aux(terms: Fp2):
     pairs = fp2_to_pairs_u64(acc)  # (n, 2)
     final = (int(pairs[-1, 0]), int(pairs[-1, 1]))
     return pairs[:, None, :].astype(np.uint64), [final]
+
+
+@jax.jit
+def running_sum_aux_columns(terms: Fp2):
+    """Device-resident multi-column builder: terms (n, k) ext → interleaved
+    base matrix (n, 2k) ready for commitment, plus the final row (k,) ext.
+
+    One dispatch builds every LogUp column (prefix scan along rows)."""
+    from ..field.goldilocks import Fp
+    import jax.numpy as jnp
+
+    acc = prefix_sum_ext(terms)  # (n, k) ext
+    n, k = acc.shape
+    interleaved = Fp(
+        jnp.stack([acc.c0.lo, acc.c1.lo], axis=2).reshape(n, 2 * k),
+        jnp.stack([acc.c0.hi, acc.c1.hi], axis=2).reshape(n, 2 * k),
+    )
+    return interleaved, acc[n - 1]

@@ -52,6 +52,7 @@ from ..merkle import lmcs
 from ..ntt import ntt
 from .domains import LiftedDomain
 from .params import PcsParams
+from ..utils.tracing import span
 
 _POINTS_CACHE: dict = {}
 
@@ -360,12 +361,14 @@ def fri_commit(params: PcsParams, domain: LiftedDomain, evals: Fp2, channel) -> 
     cur_shift = shift
     while size > final_domain_size:
         n_rows = size >> log_arity
-        mat, mat_base = _fri_round_prep(log_arity, cur)
-        tree = lmcs.build_tree([mat_base])
+        with span("FRI round commit", rows=n_rows):
+            mat, mat_base = _fri_round_prep(log_arity, cur)
+            tree = lmcs.build_tree([mat_base])
         channel.send_commitment(tree.root())
         channel.grind(params.folding_pow_bits)
         beta = channel.sample_ext()
-        cur = _fold_rows(mat, x_inv[:n_rows], beta, log_arity)
+        with span("FRI fold", rows=n_rows):
+            cur = _fold_rows(mat, x_inv[:n_rows], beta, log_arity)
         trees.append(tree)
         size = n_rows
         cur_shift = gl.exp_power_of_2(cur_shift, log_arity)
@@ -402,30 +405,36 @@ def open_with_channel(
     lift_exps = [
         [max_h // h for h in tree.heights] for tree in trees
     ]
-    claims = compute_deep_claims(trees, lift_exps, zs)
+    with span("evaluate at OOD points"):
+        claims = compute_deep_claims(trees, lift_exps, zs)
     # 1. Bind claims: per point, the flat aligned stream.
     for per_tree in claims.evals:
         flat = [v for pm in per_tree for vals in pm for v in vals]
         channel.send_ext_slice(flat)
     # 2. PoW + DEEP challenges.
-    channel.grind(params.deep_pow_bits)
+    with span("DEEP grind", bits=params.deep_pow_bits):
+        channel.grind(params.deep_pow_bits)
     alpha = channel.sample_ext()
     beta = channel.sample_ext()
     # 3. DEEP quotient over the max LDE domain.
-    deep_evals = deep_compose(domain, trees, claims, zs, alpha, beta)
+    with span("DEEP reduce + assemble"):
+        deep_evals = deep_compose(domain, trees, claims, zs, alpha, beta)
     # 4. FRI commit phase.
-    fri = fri_commit(params, domain, deep_evals, channel)
+    with span("FRI commit phase"):
+        fri = fri_commit(params, domain, deep_evals, channel)
     # 5. Query PoW + indices.
-    channel.grind(params.query_pow_bits)
+    with span("query grind", bits=params.query_pow_bits):
+        channel.grind(params.query_pow_bits)
     indices = sorted(
         {channel.sample_bits(domain.log_lde_height) for _ in range(params.num_queries)}
     )
     # 6. Open input trees (lifted) then FRI round trees.
-    for tree in trees:
-        lmcs.prove_batch(tree, [d % tree.height for d in indices], channel)
-    size = max_h
-    cur_indices = indices
-    for tree in fri.trees:
-        size >>= params.log_folding_arity
-        cur_indices = sorted({d % size for d in cur_indices})
-        lmcs.prove_batch(tree, cur_indices, channel)
+    with span("query phase"):
+        for tree in trees:
+            lmcs.prove_batch(tree, [d % tree.height for d in indices], channel)
+        size = max_h
+        cur_indices = indices
+        for tree in fri.trees:
+            size >>= params.log_folding_arity
+            cur_indices = sorted({d % size for d in cur_indices})
+            lmcs.prove_batch(tree, cur_indices, channel)

@@ -50,6 +50,7 @@ from . import pcs
 from .air import Air, Expr, Folder, MultiAir, VectorBackend
 from .domains import LiftedDomain, log_quotient_degree
 from .params import PcsParams
+from ..utils.tracing import span
 
 
 @dataclass
@@ -349,19 +350,21 @@ def prove(
     assert log_d <= log_blowup, "constraint degree exceeds blowup"
 
     # 1. Commit main traces (proof order).
-    main_tree = commit_traces([traces[i] for i in order], log_blowup)
+    with span("commit to main traces"):
+        main_tree = commit_traces([traces[i] for i in order], log_blowup)
     channel.send_commitment(main_tree.root())
 
     # 2. Randomness → aux traces (built in instance order) → external
     #    assertions → commit (proof order) → send aux values.
     max_rand = max((a.num_randomness for a in airs), default=0)
     randomness = [channel.sample_ext() for _ in range(max_rand)]
-    aux_pairs = [
-        a.build_aux_trace(
-            t, statement.publics, statement.aux_inputs, randomness[: a.num_randomness]
-        )
-        for a, t in zip(airs, traces)
-    ]
+    with span("build aux traces"):
+        aux_pairs = [
+            a.build_aux_trace(
+                t, statement.publics, statement.aux_inputs, randomness[: a.num_randomness]
+            )
+            for a, t in zip(airs, traces)
+        ]
     aux_values_inst = [v for (_, v) in aux_pairs]
     assertions = statement.multi_air.eval_external(
         randomness, aux_values_inst, log_heights
@@ -371,10 +374,14 @@ def prove(
             raise ValueError(f"external assertion {k} is non-zero: {v}")
     aux_flat = []
     for i in order:
-        aux_t = aux_pairs[i][0]  # (n, aw, 2)
-        n, aw, _ = aux_t.shape
-        aux_flat.append(aux_t.reshape(n, 2 * aw))
-    aux_tree = commit_traces(aux_flat, log_blowup)
+        aux_t = aux_pairs[i][0]  # numpy (n, aw, 2) or device Fp (n, 2·aw)
+        if isinstance(aux_t, Fp):
+            aux_flat.append(aux_t)
+        else:
+            n, aw, _ = aux_t.shape
+            aux_flat.append(aux_t.reshape(n, 2 * aw))
+    with span("commit to aux traces"):
+        aux_tree = commit_traces(aux_flat, log_blowup)
     channel.send_commitment(aux_tree.root())
     aux_values = [aux_values_inst[i] for i in order]
     for vals in aux_values:
@@ -387,6 +394,7 @@ def prove(
     # 4. Per-AIR quotient evaluation + Horner accumulation under lifting.
     acc = None
     for k, i in enumerate(order):
+      with span("evaluate constraints", instance=k):
         air = airs[i]
         dom = domains[k]
         q = evaluate_quotient(
@@ -409,20 +417,22 @@ def prove(
             reps = target // acc.shape[0]
             acc = _accumulate_step(reps, acc, q, _ext_const_vec(beta, ()))
     # 5. Commit quotient.
-    quotient_tree = commit_quotient(acc, max_domain, log_d, log_blowup)
+    with span("commit to quotient poly chunks"):
+        quotient_tree = commit_quotient(acc, max_domain, log_d, log_blowup)
     channel.send_commitment(quotient_tree.root())
 
     # 6. OOD point + PCS opening at [z, z·ω_H].
     z = max_domain.sample_ood_point(channel)
     h = max_domain.trace_generator
     z_next = gl.ext_mul_base(z, h)
-    pcs.open_with_channel(
-        params,
-        max_domain,
-        [main_tree, aux_tree, quotient_tree],
-        [z, z_next],
-        channel,
-    )
+    with span("open"):
+        pcs.open_with_channel(
+            params,
+            max_domain,
+            [main_tree, aux_tree, quotient_tree],
+            [z, z_next],
+            channel,
+        )
 
     digest, data = channel.finalize()
     return StarkOutput(
