@@ -88,3 +88,64 @@ def compress(left: list[int], right: list[int]) -> list[int]:
     state = left || right || zeros, permute, take first 4."""
     state = list(left) + list(right) + [0, 0, 0, 0]
     return permute(state)[:4]
+
+
+# ---------------------------------------------------------------------------
+# Crypto-hasher sponge (`Poseidon2` in crates/crypto) — DISTINCT from the
+# StatefulSponge overwrite-mode absorption above. This variant tags the
+# capacity with `total_len % 8` and absorbs sequentially with zero padding
+# (reference: crates/crypto/src/hash/algebraic_sponge/mod.rs,
+# hash_elements_internal). Used by Merkle structures, MAST digests, program
+# hashes — anywhere `Poseidon2::hash_elements / merge` appears.
+# ---------------------------------------------------------------------------
+
+RATE = 8
+DIGEST = 4
+
+
+def merge(left: list[int], right: list[int]) -> list[int]:
+    """`Poseidon2::merge`: rate = left || right, capacity zero, one permute.
+
+    Identical state layout to :func:`compress` (algebraic_sponge/mod.rs:153).
+    """
+    return compress(left, right)
+
+
+def merge_in_domain(left: list[int], right: list[int], domain: int) -> list[int]:
+    """`Poseidon2::merge_in_domain` (algebraic_sponge/mod.rs:177): like merge
+    but capacity[1] (state index 9) carries the domain separator."""
+    state = list(left) + list(right) + [0, domain % P, 0, 0]
+    return permute(state)[:4]
+
+
+def hash_elements_padded(elements: list[int], domain: int = 0) -> list[int]:
+    """`Poseidon2::hash_elements{,_in_domain}` (algebraic_sponge/mod.rs:197):
+    capacity[0] = len % 8, capacity[1] = domain; absorb rate-8 chunks
+    sequentially, zero-pad the trailing partial chunk; empty input with a
+    nonzero domain absorbs a ONE marker. Digest = state[0..4]."""
+    n = len(elements)
+    state = [0] * 12
+    state[8] = n % RATE
+    state[9] = domain % P
+    i = 0
+    for e in elements:
+        state[i] = e % P
+        i += 1
+        if i == RATE:
+            state[:] = permute(state)
+            i = 0
+    if i > 0:
+        for j in range(i, RATE):
+            state[j] = 0
+        state[:] = permute(state)
+    elif n == 0 and state[9] != 0:
+        state[0] = 1
+        state[:] = permute(state)
+    return state[:4]
+
+
+def merge_many(words: list[list[int]]) -> list[int]:
+    """`Poseidon2::merge_many`: sequential-sponge hash of the flattened
+    digests (algebraic_sponge/mod.rs:168)."""
+    flat = [x for w in words for x in w]
+    return hash_elements_padded(flat)
