@@ -69,15 +69,20 @@ def _stage_twiddles(log_n: int, inverse: bool):
     """
     key = (log_n, inverse)
     if key not in _TWIDDLE_CACHE:
-        tws = []
-        for s in range(log_n):
-            log_m = log_n - s
-            w = gl.two_adic_generator(log_m)
-            if inverse:
-                w = gl.inv(w)
-            tws.append(fp_powers(w, max(1, 1 << (log_m - 1))))
+        # ensure_compile_time_eval: if we're called during a jit trace, the
+        # table build must still run eagerly — staged into the graph it
+        # becomes a huge constant-folding job that XLA:CPU chews on for
+        # minutes (observed >9 min for a 10-stage transform).
+        with jax.ensure_compile_time_eval():
+            tws = []
+            for s in range(log_n):
+                log_m = log_n - s
+                w = gl.two_adic_generator(log_m)
+                if inverse:
+                    w = gl.inv(w)
+                tws.append(fp_powers(w, max(1, 1 << (log_m - 1))))
         if any(_is_tracer(t) for t in tws):
-            return tws  # under trace: don't cache tracers
+            return tws  # under trace of tracer shapes: don't cache tracers
         _TWIDDLE_CACHE[key] = tws
     return _TWIDDLE_CACHE[key]
 
@@ -89,11 +94,12 @@ def shift_powers(shift: int, n: int, bitrev: bool) -> Fp:
     """Device array of ``shift^k`` for k = 0..n-1 (optionally bit-reversed)."""
     key = (shift % gl.P, n, bitrev)
     if key not in _POWERS_CACHE:
-        p = fp_powers(shift, n)
-        if bitrev and n > 1:
-            p = bitrev_perm(p)
+        with jax.ensure_compile_time_eval():  # see _stage_twiddles
+            p = fp_powers(shift, n)
+            if bitrev and n > 1:
+                p = bitrev_perm(p)
         if _is_tracer(p):
-            return p  # under trace: don't cache tracers
+            return p  # under trace of tracer shapes: don't cache tracers
         _POWERS_CACHE[key] = p
     return _POWERS_CACHE[key]
 
@@ -159,10 +165,12 @@ def _butterfly_dit(x: Fp, tw: Fp) -> Fp:
     utw = fp_mul(u, twb)
     top = fp_add(t, utw)
     bot = fp_sub(t, utw)
-    return Fp(
-        jnp.concatenate([top.lo, bot.lo], axis=1),
-        jnp.concatenate([top.hi, bot.hi], axis=1),
-    )
+    # stack+reshape rather than concatenate: XLA:CPU compiles long
+    # concatenate chains pathologically slowly (minutes for 10+ stages),
+    # while the stack/reshape form (as in _butterfly_dif) is instant.
+    out_lo = jnp.stack([top.lo, bot.lo], axis=1).reshape(blocks, 2 * half, batch)
+    out_hi = jnp.stack([top.hi, bot.hi], axis=1).reshape(blocks, 2 * half, batch)
+    return Fp(out_lo, out_hi)
 
 
 def dft_dif(x: Fp, inverse: bool = False) -> Fp:

@@ -61,10 +61,13 @@ def coset_points(log_size: int, shift: int) -> Fp:
     """Natural-order points of the coset shift·K, cached per (size, shift)."""
     key = (log_size, shift % gl.P)
     if key not in _POINTS_CACHE:
-        w = gl.two_adic_generator(log_size)
-        p = fp_powers(w, 1 << log_size, shift=shift)
+        # Eager even under jit trace: staged table builds become giant
+        # constant-folding jobs for XLA (see ntt._stage_twiddles).
+        with _jax.ensure_compile_time_eval():
+            w = gl.two_adic_generator(log_size)
+            p = fp_powers(w, 1 << log_size, shift=shift)
         if ntt._is_tracer(p):
-            return p  # under trace: don't cache tracers
+            return p  # under trace of tracer shapes: don't cache tracers
         _POINTS_CACHE[key] = p
     return _POINTS_CACHE[key]
 
