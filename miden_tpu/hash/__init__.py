@@ -1,3 +1,21 @@
-"""Cryptographic hashing on TPU: batched Poseidon2 + host scalar twin."""
+"""Cryptographic hashing (SURVEY.md §2.1, crates/crypto/src/hash).
 
-from . import constants, poseidon2, poseidon2_host  # noqa: F401
+Device-batched row hashers for the proving path plus exact host twins:
+
+- ``poseidon2`` / ``poseidon2_host`` — the algebraic sponge (recursion- and
+  Merkle-relevant; width 12, rate 8, digest 4)
+- ``blake3`` / ``blake3_host`` — byte hasher for the blake3 LMCS configs
+- ``keccak`` / ``keccak_host`` — Keccak-256 (config + precompile witness)
+- ``sha2`` — SHA-256 (host)
+"""
+
+from . import (  # noqa: F401
+    blake3,
+    blake3_host,
+    constants,
+    keccak,
+    keccak_host,
+    poseidon2,
+    poseidon2_host,
+    sha2,
+)
