@@ -6,6 +6,8 @@ row matrices to the device-side STARK prover. Behavioral spec:
 /root/reference/{core/src/{operations,mast},processor/src}.
 """
 
+from .assembler import Assembler, AssemblyError, assemble
+from .events import error_code_from_msg, event_id
 from .mast import (
     BasicBlockNode,
     CallNode,
@@ -35,6 +37,11 @@ __all__ = [
     "OP_BITS",
     "OPCODES",
     "AdviceProvider",
+    "Assembler",
+    "AssemblyError",
+    "assemble",
+    "error_code_from_msg",
+    "event_id",
     "BasicBlockNode",
     "CallNode",
     "DynNode",

@@ -177,7 +177,10 @@ def _fingerprint_error_codes(digest: Word, batches: list[OpBatch]) -> Word:
 
 @dataclass
 class BasicBlockNode:
-    """A linear span of operations (basic_block_node/mod.rs)."""
+    """A linear span of operations (basic_block_node/mod.rs). System events
+    are ordinary `push.<event_id> emit drop` op sequences
+    (crates/assembly/src/basic_block_builder.rs:139-142), so they enter
+    batching and the digest like any other ops."""
 
     ops: list[Op]
     batches: list[OpBatch] = field(init=False)

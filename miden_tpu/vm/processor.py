@@ -96,6 +96,7 @@ class Processor:
         stack_inputs: StackInputs | None = None,
         advice: AdviceProvider | None = None,
         max_cycles: int = 1 << 29,
+        event_handlers: dict | None = None,
     ):
         self.program = program
         self.forest = program.forest
@@ -107,6 +108,7 @@ class Processor:
         self._next_ctx = 1
         self.clk = 0
         self.max_cycles = max_cycles
+        self.event_handlers = event_handlers or {}  # id → fn(processor)
         self.fn_hash = (0, 0, 0, 0)
         self.caller_hash = (0, 0, 0, 0)
         self._ctx_stack: list[tuple] = []  # saved (ctx, overflow, fn_hash, caller_hash)
@@ -238,6 +240,101 @@ class Processor:
         self.stack = self.stack[:MIN_STACK_DEPTH] + overflow
         self._tick()
 
+    # -- system events (fast/basic_block/sys_event_handlers.rs) ---------
+
+    def _handle_event(self, eid: int) -> None:
+        """Run the handler for event id `eid`. During a handler the stack is
+        [event_id, operands...] — the assembler emits push/emit/drop."""
+        from .events import SYSTEM_EVENT_BY_ID
+
+        name = SYSTEM_EVENT_BY_ID.get(eid)
+        if name is None:
+            handler = self.event_handlers.get(eid)
+            if handler is None:
+                raise ExecutionError(f"no handler for event id {eid}")
+            handler(self)
+            return
+        s, adv = self.stack, self.advice
+        if name == "sys::merkle_node_to_stack":
+            depth, index, root = s[1], s[2], tuple(s[3:7])
+            node = adv.store.get_node(root, NodeIndex(depth, index))
+            adv.stack[0:0] = list(node)  # node[0] pops first
+        elif name == "sys::merkle_node_merge":
+            lhs, rhs = tuple(s[1:5]), tuple(s[5:9])
+            parent = tuple(hp.merge(list(lhs), list(rhs)))
+            adv.store.extend([(parent, lhs, rhs)])
+        elif name in (
+            "sys::map_value_to_stack",
+            "sys::map_value_to_stack_n_0",
+            "sys::map_value_to_stack_n_4",
+            "sys::map_value_to_stack_n_8",
+        ):
+            key = tuple(s[1:5])
+            values = adv.map.get(key)
+            if values is None:
+                raise ExecutionError(f"advice map key {key} not found")
+            out = list(values)
+            if name.endswith(("n_0", "n_4", "n_8")):
+                pad_to = int(name[-1])
+                if pad_to:
+                    out += [0] * (-len(out) % pad_to)
+                out.insert(0, len(values))
+            adv.stack[0:0] = out
+        elif name == "sys::map_value_count_to_stack":
+            key = tuple(s[1:5])
+            if key not in adv.map:
+                raise ExecutionError(f"advice map key {key} not found")
+            adv.stack.insert(0, len(adv.map[key]))
+        elif name == "sys::has_map_key":
+            adv.stack.insert(0, 1 if tuple(s[1:5]) in adv.map else 0)
+        elif name == "sys::ext2_inv":
+            # (a0 + a1·x) with x² = 7; inverse = (a0 − a1·x)/(a0² − 7·a1²)
+            a0, a1 = s[1], s[2]
+            d = (a0 * a0 - 7 * a1 * a1) % P
+            if d == 0:
+                raise ExecutionError("ext2inv: division by zero")
+            dinv = pow(d, P - 2, P)
+            # push low then high so the high coefficient pops first
+            adv.stack[0:0] = [a1 and (P - a1) * dinv % P, a0 * dinv % P][::-1]
+        elif name == "sys::ilog2":
+            if s[1] == 0:
+                raise ExecutionError("ilog2 of zero")
+            adv.stack.insert(0, s[1].bit_length() - 1)
+        elif name == "sys::u32_clz":
+            adv.stack.insert(0, 32 - self._u32(1).bit_length())
+        elif name == "sys::u32_ctz":
+            v = self._u32(1)
+            adv.stack.insert(0, (v & -v).bit_length() - 1 if v else 32)
+        elif name == "sys::u32_clo":
+            v = (~self._u32(1)) & U32_MAX
+            adv.stack.insert(0, 32 - v.bit_length())
+        elif name == "sys::u32_cto":
+            v = (~self._u32(1)) & U32_MAX
+            adv.stack.insert(0, (v & -v).bit_length() - 1 if v else 32)
+        elif name == "sys::mem_to_map":
+            # [event_id, KEY, start_addr, end_addr, ...] → map[KEY] = mem[start..end)
+            key, start, end = tuple(s[1:5]), s[5], s[6]
+            if start > U32_MAX or end > U32_MAX or start > end:
+                raise ExecutionError("mem_to_map: invalid range")
+            adv.map[key] = [self._mem_read_element(a) for a in range(start, end)]
+        elif name in ("sys::hdword_to_map", "sys::hdword_to_map_with_domain"):
+            # [event_id, A, B, ...]; key = hash(A || B, domain), values [A, B]
+            a, b = list(s[1:5]), list(s[5:9])
+            domain = s[9] if name.endswith("domain") else 0
+            key = tuple(hp.merge_in_domain(a, b, domain))
+            adv.map[key] = a + b
+        elif name == "sys::hqword_to_map":
+            words = [s[i] for i in range(1, 17)]
+            key = tuple(hp.hash_elements_padded(words))
+            adv.map[key] = words
+        elif name == "sys::hperm_to_map":
+            # state [RATE1, RATE2, CAP]; values = rate; key = permuted digest
+            state = [s[i] for i in range(1, 13)]
+            key = tuple(hp.permute(state)[0:4])
+            adv.map[key] = state[:8]
+        else:
+            raise ExecutionError(f"system event {name} not implemented")
+
     # -- memory ---------------------------------------------------------
 
     def _mem_word(self, addr: int) -> list[int]:
@@ -270,7 +367,9 @@ class Processor:
         elif name == "CALLER":
             s[0:4] = list(self.caller_hash)
         elif name == "EMIT":
-            pass  # host event hook; id stays on the stack (operations/mod.rs:167)
+            # Dispatch by the event id on top of the stack; system events
+            # first, then user handlers (fast/basic_block/sys_event_handlers.rs:50).
+            self._handle_event(s[0])
         # field ops (execution/operations/field_ops)
         elif name == "ADD":
             a, b = s[0], s[1]
@@ -448,21 +547,28 @@ class Processor:
             out = hp.permute(state)
             s[0:12] = out
         elif name == "MPVERIFY":
-            # [R, depth, index, V, ...]: verify advice-store path (crypto_ops)
-            root = tuple(s[0:4])
+            # [V, depth, index, R, ...]: verify that the tree with root R
+            # opens to V at (depth, index); stack unchanged
+            # (execution/operations/crypto_ops/mod.rs:96-105)
+            node_claim = s[0:4]
             depth, index = s[4], s[5]
+            root = tuple(s[6:10])
             node = self.advice.store.get_node(root, NodeIndex(depth, index))
-            if list(node) != s[6:10]:
+            if list(node) != node_claim:
                 raise ExecutionError(f"merkle path verification failed (err={op.err_code})")
         elif name == "MRUPDATE":
-            # [R_old, depth, index, V_old, R_new(out) V_new...] — update via store
-            root = tuple(s[0:4])
+            # [V_old, depth, index, R_old, V_new, ...] → [R_new, depth,
+            # index, R_old, V_new, ...] (crypto_ops/mod.rs:161-170)
+            old = s[0:4]
             depth, index = s[4], s[5]
-            old = self.advice.store.get_node(root, NodeIndex(depth, index))
-            if list(old) != s[6:10]:
-                raise ExecutionError("merkle update: old value mismatch")
+            old_root = tuple(s[6:10])
             new_val = tuple(s[10:14])
-            new_root = self.advice.store.set_node(root, NodeIndex(depth, index), new_val)
+            cur = self.advice.store.get_node(old_root, NodeIndex(depth, index))
+            if list(cur) != old:
+                raise ExecutionError("merkle update: old value mismatch")
+            new_root = self.advice.store.set_node(
+                old_root, NodeIndex(depth, index), new_val
+            )
             s[0:4] = list(new_root)
         else:
             raise ExecutionError(f"operation {name} not implemented yet")

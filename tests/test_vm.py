@@ -233,11 +233,11 @@ class TestProcessor:
         store = MerkleStore()
         store.extend(tree.inner_nodes())
         adv = AdviceProvider(store=store)
-        # stack: [R, depth, index, V, ...]
-        stack = list(tree.root) + [3, 2] + list(leaves[2])
+        # stack: [V, depth, index, R, ...] (crypto_ops/mod.rs:96-105)
+        stack = list(leaves[2]) + [3, 2] + list(tree.root)
         out = run([Op("MPVERIFY")], stack=stack, advice=adv)
-        assert out.stack[:4] == list(tree.root)
-        bad = list(tree.root) + [3, 2] + list(leaves[3])
+        assert out.stack[:4] == list(leaves[2])
+        bad = list(leaves[3]) + [3, 2] + list(tree.root)
         with pytest.raises(ExecutionError):
             run([Op("MPVERIFY")], stack=bad, advice=adv)
 
