@@ -610,11 +610,15 @@ class _CompileContext:
                     then_id, else_id = else_id, then_id
                 nodes.append(self.forest.add_split(then_id, else_id))
             elif tok == "while.true":
+                # `while.true` desugars to `if.true { LOOP { body } } else
+                # { noop }` — the LOOP node itself is do-while
+                # (crates/assembly/src/assembler.rs:1514-1516)
                 flush()
                 body_nodes, i = self._compile_items(mod, tokens, i, ("end",))
                 body = self._join(body_nodes) if body_nodes else self._noop()
                 i += 1
-                nodes.append(self.forest.add_loop(body))
+                loop_node = self.forest.add_loop(body)
+                nodes.append(self.forest.add_split(loop_node, self._noop()))
             elif tok.startswith("repeat."):
                 # compile-time unroll: splice the body back into the token
                 # stream so contiguous ops merge with the surroundings
@@ -747,7 +751,6 @@ _SIMPLE_INSTRUCTIONS: dict[str, tuple[str, ...]] = {
     "caller": ("CALLER",),
     "clk": ("CLK",),
     "adv_pipe": ("PIPE",),
-    "adv_push": ("ADVPOP",),
     "adv_pushw": ("PAD", "PAD", "PAD", "PAD", "ADVPOPW"),
     "adv_loadw": ("ADVPOPW",),
     "mem_stream": ("MSTREAM",),
@@ -1086,8 +1089,17 @@ def _lower_ilog2(args, iargs, err, consts):
     raise AssemblyError("ilog2 verification sequence not supported yet")
 
 
+def _lower_adv_push(args, iargs, err, consts):
+    """adv_push.n → n × ADVPOP (assembly/src/instruction/mod.rs AdvPush)."""
+    n = _one_imm(iargs)
+    if n is None or not 1 <= n <= 16:
+        raise AssemblyError(f"adv_push.{n}: immediate must be in 1..=16")
+    return _ops(*["ADVPOP"] * n)
+
+
 _LOWERINGS = {
     "adv": _lower_adv,
+    "adv_push": _lower_adv_push,
     "push": _lower_push,
     "add": _lower_add,
     "sub": _lower_sub,

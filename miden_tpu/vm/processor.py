@@ -1,20 +1,24 @@
-"""MAST interpreter: executes programs and produces execution outputs.
+"""MAST interpreter: executes programs and produces execution outputs and
+(via tracer hooks) the Miden execution trace.
 
 Behavioral spec: processor/src/ — the FastProcessor interpreter loop
-(fast/mod.rs:102, continuation-stack dispatch over MAST nodes) and the
-per-operation semantics under execution/operations/ (cited per handler).
-This is the host-side oracle of the TPU framework: it runs programs and
-(next milestones) records the replay logs that the device-side trace
-builder consumes.
+(fast/mod.rs:102, continuation-stack dispatch over MAST nodes), per-op
+semantics under execution/operations/ (cited per handler), the do-while
+Loop node (execution/loop.rs), and operation helper registers
+(tracer.rs:338 OperationHelperRegisters).
 
 Conventions:
-  - operand stack: index 0 = top; depth never drops below 16 (zeros shift
-    in at the bottom once the overflow table is empty — fast/mod.rs:38).
+  - operand stack: index 0 = top; logical depth (`depth`) never drops below
+    16 (zeros shift in at the bottom once the overflow table is empty).
+    `stack[16:]` is the overflow table contents, most recent first;
+    `overflow_addrs` tracks the clk each overflow element was pushed at
+    (trace_state.rs:157 StackState).
   - `call`/`syscall` start a new execution context: fresh memory context,
-    operand stack truncated to 16 with the overflow saved for the return
-    (fast/mod.rs execution contexts).
+    operand stack truncated to 16 with the overflow saved for the return.
   - memory: element-addressable u32 addresses; word accesses must be
-    4-aligned (fast/memory.rs:244 split_addr).
+    4-aligned.
+  - the hasher chiplet address allocator starts at 1 and advances 2 rows
+    per permutation (execution_tracer.rs:1008 HasherChipletShim).
 """
 
 from __future__ import annotations
@@ -43,6 +47,15 @@ MIN_STACK_DEPTH = 16
 
 class ExecutionError(Exception):
     pass
+
+
+def _inv(v: int) -> int:
+    return pow(v, P - 2, P) if v else 0
+
+
+def _u16_limbs(v: int) -> tuple[int, int]:
+    """(t0, t1): low/high 16-bit limbs of a u32."""
+    return v & 0xFFFF, (v >> 16) & 0xFFFF
 
 
 @dataclass
@@ -87,8 +100,89 @@ class ExecutionOutput:
     clk: int
 
 
+class HasherAllocator:
+    """Allocates hasher-chiplet controller addresses and records requests
+    for later chiplet-trace building (execution_tracer.rs:1008). Addresses
+    start at 1; each Poseidon2 permutation consumes 2 controller rows."""
+
+    def __init__(self) -> None:
+        self.addr = 1
+        self.requests: list[tuple] = []  # (kind, addr, payload...)
+
+    def _take(self, num_permutations: int) -> int:
+        addr = self.addr
+        self.addr += 2 * num_permutations
+        return addr
+
+    def hash_control_block(self, h1: list[int], h2: list[int], domain: int) -> int:
+        addr = self._take(1)
+        self.requests.append(("control_block", addr, list(h1), list(h2), domain))
+        return addr
+
+    def hash_basic_block(self, batches: list[list[int]]) -> int:
+        addr = self._take(len(batches))
+        self.requests.append(("basic_block", addr, [list(b) for b in batches]))
+        return addr
+
+    def permute(self, state: list[int]) -> int:
+        addr = self._take(1)
+        self.requests.append(("permute", addr, list(state)))
+        return addr
+
+    def build_merkle_root(self, value, path, index: int) -> int:
+        siblings = list(path.nodes)
+        addr = self._take(len(siblings))
+        self.requests.append(("merkle_root", addr, tuple(value), siblings, index))
+        return addr
+
+    def update_merkle_root(self, old_value, new_value, path, index: int) -> int:
+        siblings = list(path.nodes)
+        addr = self._take(2 * len(siblings))
+        self.requests.append(
+            ("update_merkle_root", addr, tuple(old_value), tuple(new_value), siblings, index)
+        )
+        return addr
+
+
+class NullTracer:
+    """No-op tracer: plain execution."""
+
+    def on_join_start(self, node):
+        pass
+
+    def on_split_start(self, node):
+        pass
+
+    def on_loop_start(self, node):
+        pass
+
+    def on_call_start(self, node, callee_hash):
+        pass
+
+    def on_dyn_start(self, node, callee_hash):
+        pass
+
+    def on_node_end(self, digest, is_loop_body, is_loop, is_call, is_syscall):
+        pass
+
+    def on_repeat(self, node):
+        pass
+
+    def on_span_start(self, node):
+        pass
+
+    def on_respan(self, node, batch_index):
+        pass
+
+    def on_op(self, op, op_idx_in_group, helpers):
+        pass
+
+    def on_halt(self):
+        pass
+
+
 class Processor:
-    """Iterative MAST executor."""
+    """Iterative MAST executor with optional trace hooks."""
 
     def __init__(
         self,
@@ -97,31 +191,46 @@ class Processor:
         advice: AdviceProvider | None = None,
         max_cycles: int = 1 << 29,
         event_handlers: dict | None = None,
+        tracer=None,
     ):
         self.program = program
         self.forest = program.forest
         inputs = (stack_inputs or StackInputs([])).values
         self.stack: list[int] = list(inputs) + [0] * (MIN_STACK_DEPTH - len(inputs))
+        self.depth = MIN_STACK_DEPTH
+        self.overflow_addrs: list[int] = []  # parallel to stack[16:], newest first
         self.advice = advice or AdviceProvider()
         self.memory: dict[tuple[int, int], list[int]] = {}  # (ctx, word_addr) -> word
         self.ctx = 0
-        self._next_ctx = 1
         self.clk = 0
         self.max_cycles = max_cycles
         self.event_handlers = event_handlers or {}  # id → fn(processor)
         self.fn_hash = (0, 0, 0, 0)
         self.caller_hash = (0, 0, 0, 0)
-        self._ctx_stack: list[tuple] = []  # saved (ctx, overflow, fn_hash, caller_hash)
+        self._ctx_stack: list[tuple] = []
+        self.hasher = HasherAllocator()
+        self.tracer = tracer or NullTracer()
+        self.range_checks: list[int] = []  # 16-bit values to range check
 
     # -- stack helpers ------------------------------------------------------
 
+    @property
+    def overflow_addr(self) -> int:
+        """b1: clk at which the last overflow element was pushed (0 = empty)."""
+        return self.overflow_addrs[0] if self.overflow_addrs else 0
+
     def _push(self, v: int) -> None:
         self.stack.insert(0, v % P)
+        self.depth += 1
+        self.overflow_addrs.insert(0, self.clk)
 
     def _drop(self, n: int = 1) -> None:
         for _ in range(n):
             del self.stack[0]
-            if len(self.stack) < MIN_STACK_DEPTH:
+            if self.depth > MIN_STACK_DEPTH:
+                self.depth -= 1
+                self.overflow_addrs.pop(0)
+            else:
                 self.stack.append(0)
 
     def _u32(self, idx: int) -> int:
@@ -130,10 +239,14 @@ class Processor:
             raise ExecutionError(f"stack[{idx}] = {v} is not a u32")
         return v
 
+    def _range_check(self, *values: int) -> None:
+        self.range_checks.extend(values)
+
     # -- execution ----------------------------------------------------------
 
     def execute(self) -> ExecutionOutput:
         self._execute_node(self.program.entrypoint)
+        self.tracer.on_halt()
         return ExecutionOutput(
             stack=list(self.stack[:MIN_STACK_DEPTH]),
             advice=self.advice,
@@ -146,99 +259,163 @@ class Processor:
         if self.clk > self.max_cycles:
             raise ExecutionError("max cycles exceeded")
 
-    def _execute_node(self, node_id: int) -> None:
+    def _node_digest(self, node_id: int) -> tuple:
+        return self.forest[node_id].digest
+
+    def _execute_node(self, node_id: int, is_loop_body: bool = False) -> None:
         node = self.forest[node_id]
         if isinstance(node, BasicBlockNode):
-            self._tick()  # SPAN
-            for i, batch in enumerate(node.batches):
-                if i > 0:
-                    self._tick()  # RESPAN
-                for op in batch.ops:
-                    self._execute_op(op)
-                    self._tick()
-            self._tick()  # END
+            self._execute_basic_block(node, is_loop_body)
         elif isinstance(node, JoinNode):
+            self.tracer.on_join_start(node)
             self._tick()
             self._execute_node(node.children[0])
             self._execute_node(node.children[1])
-            self._tick()
+            self._end_node(node.digest, is_loop_body)
         elif isinstance(node, SplitNode):
-            self._tick()
+            self.tracer.on_split_start(node)
             cond = self.stack[0]
             self._drop()
+            self._tick()
             if cond == 1:
                 self._execute_node(node.children[0])
             elif cond == 0:
                 self._execute_node(node.children[1])
             else:
                 raise ExecutionError(f"split condition {cond} is not binary")
-            self._tick()
+            self._end_node(node.digest, is_loop_body)
         elif isinstance(node, LoopNode):
-            self._tick()
-            cond = self.stack[0]
-            self._drop()
-            while cond == 1:
-                self._execute_node(node.children[0])
+            # do-while semantics (execution/loop.rs): the body is entered
+            # unconditionally; the condition it leaves on top decides REPEAT
+            # (pop 1, re-enter) or END (pop 0, exit)
+            self.tracer.on_loop_start(node)
+            self._tick()  # LOOP
+            while True:
+                self._execute_node(node.children[0], is_loop_body=True)
                 cond = self.stack[0]
-                self._drop()
-                if cond not in (0, 1):
+                if cond == 0:
+                    self._end_node(node.digest, is_loop_body, is_loop=True, pops=1)
+                    break
+                if cond != 1:
                     raise ExecutionError(f"loop condition {cond} is not binary")
-                self._tick()  # REPEAT or the final END absorbs one row
-            if cond != 0:
-                raise ExecutionError(f"loop condition {cond} is not binary")
-            self._tick()
+                self.tracer.on_repeat(node)
+                self._drop()
+                self._tick()  # REPEAT
         elif isinstance(node, CallNode):
-            self._enter_call(node)
+            callee = self.forest[node.children[0]]
+            self.tracer.on_call_start(node, callee.digest)
+            self._enter_call(node, callee)
             self._execute_node(node.children[0])
-            self._exit_call()
+            self._exit_call(node.digest, is_loop_body, node.is_syscall)
         elif isinstance(node, DynNode):
-            self._tick()
-            digest = tuple(self.stack[:4])
-            self._drop(4)
+            # DYN/DYNCALL (execution/dyn.rs): read the callee hash from the
+            # memory word at address s0, then shift the stack left by one
+            addr = self.stack[0]
+            if addr > U32_MAX or addr % 4:
+                raise ExecutionError(f"dyn: invalid callee-hash address {addr}")
+            digest = tuple(self.memory.get((self.ctx, addr), [0, 0, 0, 0]))
+            self.tracer.on_dyn_start(node, digest)
+            self._drop()
             target = self.forest.find_root(digest)
             if target is None:
                 target = self.forest._by_digest.get(digest)
             if target is None:
                 raise ExecutionError(f"dynamic target {digest} not found")
             if node.is_dyncall:
-                self._enter_call(CallNode((target,), False, digest))
+                callee = self.forest[target]
+                self._tick()
+                self._enter_call(node, callee, ticked=False)
                 self._execute_node(target)
-                self._exit_call()
+                self._exit_call(node.digest, is_loop_body, is_syscall=False)
             else:
+                self._tick()
                 self._execute_node(target)
-            self._tick()
+                self._end_node(node.digest, is_loop_body)
         elif isinstance(node, ExternalNode):
             target = self.forest._by_digest.get(node.digest)
             if target is None or target == node_id:
                 raise ExecutionError(f"external node {node.digest} unresolved")
-            self._execute_node(target)
+            self._execute_node(target, is_loop_body)
         else:
             raise ExecutionError(f"unknown node kind {type(node).__name__}")
 
-    def _enter_call(self, node: CallNode) -> None:
-        self._tick()
-        callee = self.forest[node.children[0]]
+    def _end_node(
+        self,
+        digest: tuple,
+        is_loop_body: bool,
+        is_loop: bool = False,
+        is_call: bool = False,
+        is_syscall: bool = False,
+        pops: int = 0,
+    ) -> None:
+        self.tracer.on_node_end(digest, is_loop_body, is_loop, is_call, is_syscall)
+        self._drop(pops)
+        self._tick()  # END
+
+    def _execute_basic_block(self, node: BasicBlockNode, is_loop_body: bool) -> None:
+        self.tracer.on_span_start(node)
+        self._tick()  # SPAN
+        for batch_index, batch in enumerate(node.batches):
+            if batch_index > 0:
+                self.tracer.on_respan(node, batch_index)
+                self._tick()  # RESPAN
+            for group_idx in range(batch.num_groups):
+                start, end = batch.indptr[group_idx], batch.indptr[group_idx + 1]
+                for op_idx_in_group, i in enumerate(range(start, end)):
+                    op = batch.ops[i]
+                    helpers = self._execute_op(op)
+                    self.tracer.on_op(op, op_idx_in_group, helpers or [0] * 6)
+                    self._tick()
+        self._end_node(node.digest, is_loop_body)
+
+    def _enter_call(self, node, callee, ticked: bool = True) -> None:
+        if ticked:
+            self._tick()
         self._ctx_stack.append(
-            (self.ctx, self.stack[MIN_STACK_DEPTH:], self.fn_hash, self.caller_hash)
+            (
+                self.ctx,
+                self.stack[MIN_STACK_DEPTH:],
+                self.overflow_addrs,
+                self.depth,
+                self.fn_hash,
+                self.caller_hash,
+            )
         )
-        if node.is_syscall:
+        is_syscall = getattr(node, "is_syscall", False)
+        if is_syscall:
             # Syscalls run in the root context; callee must be in the kernel.
             if self.program.kernel_digests and callee.digest not in self.program.kernel_digests:
                 raise ExecutionError("syscall target not in kernel")
             self.caller_hash = self.fn_hash
             self.ctx = 0
         else:
-            self.ctx = self._next_ctx
-            self._next_ctx += 1
+            # New context id = clk of the row after the CALL (fast/mod.rs)
+            self.ctx = self.clk
             self.fn_hash = callee.digest
+            # initialize the frame pointer in the new context
+            # (FMP_ADDR = 2^32−1 ← FMP_INIT = 2^31, docs decoder/index.md §CALL)
+            self.memory.setdefault((self.ctx, U32_MAX - 3), [0, 0, 0, 0])[3] = 1 << 31
         self.stack = self.stack[:MIN_STACK_DEPTH]
+        self.depth = MIN_STACK_DEPTH
+        self.overflow_addrs = []
 
-    def _exit_call(self) -> None:
-        if any(self.stack[MIN_STACK_DEPTH:]):
+    def _exit_call(self, digest: tuple, is_loop_body: bool, is_syscall: bool) -> None:
+        if self.depth != MIN_STACK_DEPTH:
             raise ExecutionError("call must return with depth 16")
-        self.ctx, overflow, self.fn_hash, self.caller_hash = self._ctx_stack.pop()
+        self.tracer.on_node_end(
+            digest, is_loop_body, False, not is_syscall, is_syscall
+        )
+        (
+            self.ctx,
+            overflow,
+            self.overflow_addrs,
+            self.depth,
+            self.fn_hash,
+            self.caller_hash,
+        ) = self._ctx_stack.pop()
         self.stack = self.stack[:MIN_STACK_DEPTH] + overflow
-        self._tick()
+        self.depth = MIN_STACK_DEPTH + len(overflow)
+        self._tick()  # END
 
     # -- system events (fast/basic_block/sys_event_handlers.rs) ---------
 
@@ -350,18 +527,21 @@ class Processor:
 
     # -- ops ------------------------------------------------------------
 
-    def _execute_op(self, op: Op) -> None:  # noqa: C901
+    def _execute_op(self, op: Op) -> list[int] | None:  # noqa: C901
+        """Executes one operation; returns the 6 user-op helper register
+        values (tracer.rs:494 to_user_op_helpers) or None for ops without
+        helpers."""
         s = self.stack
         name = op.name
         if name == "NOOP":
-            return
+            return None
         # system (execution/operations/sys_ops)
         if name == "ASSERT":
             if s[0] != 1:
                 raise ExecutionError(f"assertion failed (err={op.err_code})")
             self._drop()
         elif name == "SDEPTH":
-            self._push(len(s))
+            self._push(self.depth)
         elif name == "CLK":
             self._push(self.clk)
         elif name == "CALLER":
@@ -407,16 +587,21 @@ class Processor:
             a, b = s[0], s[1]
             self._drop()
             s[0] = 1 if a == b else 0
+            return [_inv((a - b) % P), 0, 0, 0, 0, 0]
         elif name == "EQZ":
-            s[0] = 1 if s[0] == 0 else 0
+            top = s[0]
+            s[0] = 1 if top == 0 else 0
+            return [_inv(top), 0, 0, 0, 0, 0]
         elif name == "EXPACC":
             # [lsb', base², acc·base^lsb, exp>>1] (field_ops/mod.rs:195)
             base, acc, exp = s[1], s[2], s[3]
             lsb = exp & 1
+            acc_update = base if lsb else 1
             s[0] = lsb
             s[1] = base * base % P
-            s[2] = acc * (base if lsb else 1) % P
+            s[2] = acc * acc_update % P
             s[3] = exp >> 1
+            return [acc_update, 0, 0, 0, 0, 0]
         elif name == "EXT2MUL":
             # (x²−7)-extension product into positions 2,3 (field_ops:227)
             b0, b1, a0, a1 = s[0], s[1], s[2], s[3]
@@ -426,35 +611,71 @@ class Processor:
         elif name == "U32SPLIT":
             # [value] → [lo, hi], lo on top (u32_ops/mod.rs:51)
             v = s[0]
-            s[0] = v >> 32
-            self._push(v & U32_MAX)
+            lo, hi = v & U32_MAX, v >> 32
+            s[0] = hi
+            self._push(lo)
+            t0, t1 = _u16_limbs(lo)
+            t2, t3 = _u16_limbs(hi)
+            self._range_check(t0, t1, t2, t3)
+            return [t0, t1, t2, t3, _inv((U32_MAX - hi) % P), 0]
         elif name == "U32ADD":
             a, b = self._u32(0), self._u32(1)
             r = a + b
-            s[0], s[1] = r & U32_MAX, r >> 32
+            lo, carry = r & U32_MAX, r >> 32
+            s[0], s[1] = lo, carry
+            t0, t1 = _u16_limbs(lo)
+            t2, t3 = _u16_limbs(carry)
+            self._range_check(t0, t1, t2, t3)
+            return [t0, t1, t2, t3, 0, 0]
         elif name == "U32ADD3":
             a, b, c = self._u32(0), self._u32(1), self._u32(2)
             r = a + b + c
             self._drop()
-            s[0], s[1] = r & U32_MAX, r >> 32
+            lo, carry = r & U32_MAX, r >> 32
+            s[0], s[1] = lo, carry
+            t0, t1 = _u16_limbs(lo)
+            t2, t3 = _u16_limbs(carry)
+            self._range_check(t0, t1, t2, t3)
+            return [t0, t1, t2, t3, 0, 0]
         elif name == "U32SUB":
             b, a = self._u32(0), self._u32(1)
-            r = (a - b) & ((1 << 64) - 1)
-            s[0], s[1] = r >> 63, r & U32_MAX
+            diff = (a - b) & U32_MAX
+            borrow = 1 if a < b else 0
+            s[0], s[1] = borrow, diff
+            t0, t1 = _u16_limbs(diff)
+            self._range_check(t0, t1)
+            return [t0, t1, 0, 0, 0, 0]
         elif name == "U32MUL":
             a, b = self._u32(0), self._u32(1)
             r = a * b
-            s[0], s[1] = r & U32_MAX, r >> 32
+            lo, hi = r & U32_MAX, r >> 32
+            s[0], s[1] = lo, hi
+            t0, t1 = _u16_limbs(lo)
+            t2, t3 = _u16_limbs(hi)
+            self._range_check(t0, t1, t2, t3)
+            return [t0, t1, t2, t3, _inv((U32_MAX - hi) % P), 0]
         elif name == "U32MADD":
             a, b, c = self._u32(0), self._u32(1), self._u32(2)
             r = a * b + c
             self._drop()
-            s[0], s[1] = r & U32_MAX, r >> 32
+            lo, hi = r & U32_MAX, r >> 32
+            s[0], s[1] = lo, hi
+            t0, t1 = _u16_limbs(lo)
+            t2, t3 = _u16_limbs(hi)
+            self._range_check(t0, t1, t2, t3)
+            return [t0, t1, t2, t3, _inv((U32_MAX - hi) % P), 0]
         elif name == "U32DIV":
             b, a = self._u32(0), self._u32(1)
             if b == 0:
                 raise ExecutionError("division by zero")
-            s[0], s[1] = a % b, a // b
+            q, r = a // b, a % b
+            s[0], s[1] = r, q
+            # lo = numerator − quotient; hi = denominator − remainder − 1
+            lo, hi = a - q, b - r - 1
+            t0, t1 = _u16_limbs(lo)
+            t2, t3 = _u16_limbs(hi)
+            self._range_check(t0, t1, t2, t3)
+            return [t0, t1, t2, t3, 0, 0]
         elif name == "U32AND":
             a, b = self._u32(0), self._u32(1)
             self._drop()
@@ -464,7 +685,11 @@ class Processor:
             self._drop()
             s[0] = a ^ b
         elif name == "U32ASSERT2":
-            self._u32(0), self._u32(1)
+            first, second = self._u32(0), self._u32(1)
+            t0, t1 = _u16_limbs(second)
+            t2, t3 = _u16_limbs(first)
+            self._range_check(t0, t1, t2, t3)
+            return [t0, t1, t2, t3, 0, 0]
         # stack ops (execution/operations/stack_ops)
         elif name == "PAD":
             self._push(0)
@@ -473,10 +698,11 @@ class Processor:
         elif name == "SWAP":
             s[0], s[1] = s[1], s[0]
         elif name.startswith("SWAPW"):
-            off = {"SWAPW": 4, "SWAPW2": 8, "SWAPW3": 12}[name]
-            s[0:4], s[off : off + 4] = s[off : off + 4], s[0:4]
-        elif name == "SWAPDW":
-            s[0:8], s[8:16] = s[8:16], s[0:8]
+            if name == "SWAPDW":
+                s[0:8], s[8:16] = s[8:16], s[0:8]
+            else:
+                off = {"SWAPW": 4, "SWAPW2": 8, "SWAPW3": 12}[name]
+                s[0:4], s[off : off + 4] = s[off : off + 4], s[0:4]
         elif name.startswith("DUP"):
             self._push(s[int(name[3:])])
         elif name.startswith("MOVUP"):
@@ -544,8 +770,10 @@ class Processor:
         # crypto ops (execution/operations/crypto_ops)
         elif name == "HPERM":
             state = [s[i] for i in range(12)]
+            addr = self.hasher.permute(state)
             out = hp.permute(state)
             s[0:12] = out
+            return [addr, 0, 0, 0, 0, 0]
         elif name == "MPVERIFY":
             # [V, depth, index, R, ...]: verify that the tree with root R
             # opens to V at (depth, index); stack unchanged
@@ -556,6 +784,9 @@ class Processor:
             node = self.advice.store.get_node(root, NodeIndex(depth, index))
             if list(node) != node_claim:
                 raise ExecutionError(f"merkle path verification failed (err={op.err_code})")
+            _, path = self.advice.store.get_path(root, NodeIndex(depth, index))
+            addr = self.hasher.build_merkle_root(node, path, index)
+            return [addr, 0, 0, 0, 0, 0]
         elif name == "MRUPDATE":
             # [V_old, depth, index, R_old, V_new, ...] → [R_new, depth,
             # index, R_old, V_new, ...] (crypto_ops/mod.rs:161-170)
@@ -566,12 +797,16 @@ class Processor:
             cur = self.advice.store.get_node(old_root, NodeIndex(depth, index))
             if list(cur) != old:
                 raise ExecutionError("merkle update: old value mismatch")
+            _, path = self.advice.store.get_path(old_root, NodeIndex(depth, index))
             new_root = self.advice.store.set_node(
                 old_root, NodeIndex(depth, index), new_val
             )
+            addr = self.hasher.update_merkle_root(old, new_val, path, index)
             s[0:4] = list(new_root)
+            return [addr, 0, 0, 0, 0, 0]
         else:
             raise ExecutionError(f"operation {name} not implemented yet")
+        return None
 
 
 def execute(

@@ -202,7 +202,7 @@ class TestProcedures:
     def test_call_isolates_context(self):
         src = """
         proc reader
-            push.100 mem_load
+            push.100 mem_load swap drop
         end
         begin
             push.42 mem_store.100
@@ -273,7 +273,7 @@ class TestCryptoAndAdvice:
     def test_adv_mapval(self):
         key = (1, 2, 3, 4)
         adv = AdviceProvider(map={key: [10, 20, 30]})
-        src = "begin push.4.3.2.1 adv.push_mapval adv_push adv_push adv_push end"
+        src = "begin push.4.3.2.1 adv.push_mapval adv_push.3 end"
         out = run(src, advice=adv)
         assert out.stack[:3] == [30, 20, 10]
 

@@ -205,16 +205,17 @@ class TestProcessor:
         assert execute(Program(forest, split), [1]).stack[0] == 10
         assert execute(Program(forest, split), [0]).stack[0] == 20
 
-        # loop: sum 1..n via counter — stack [cond, acc, i]
+        # do-while loop (execution/loop.rs): body runs unconditionally,
+        # leaves the re-entry condition on top; sum 1..n via counter
         forest2 = MastForest()
         body = forest2.add_block(
-            # [acc, i] → acc += i; i -= 1; cond = (i != 0)
+            # [acc, i] → [cond=(i-1 != 0), acc+i, i-1]
             [Op("DUP1"), ADD, Op("SWAP"), push(1), Op("NEG"), ADD, Op("SWAP"),
              Op("DUP1"), Op("EQZ"), Op("NOT")]
         )
         loop = forest2.add_loop(body)
         forest2.make_root(loop)
-        out = execute(Program(forest2, loop), [1, 0, 5])  # cond=1, acc=0, i=5
+        out = execute(Program(forest2, loop), [0, 5])  # acc=0, i=5
         assert out.stack[0] == 15
 
     def test_hperm(self):
@@ -244,7 +245,7 @@ class TestProcessor:
     def test_call_context_isolation(self):
         # memory written in the caller's context is invisible inside call
         forest = MastForest()
-        callee = forest.add_block([push(100), Op("MLOAD")])
+        callee = forest.add_block([push(100), Op("MLOAD"), Op("SWAP"), Op("DROP")])
         call = forest.add_call(callee)
         store_then_call = forest.add_block(
             [push(42), push(100), Op("MSTORE"), Op("DROP")]
