@@ -185,14 +185,20 @@ class BasicBlockNode:
     ops: list[Op]
     batches: list[OpBatch] = field(init=False)
     digest: Word = field(init=False)
+    fingerprint: Word = field(init=False)
 
     def __post_init__(self):
         if not self.ops:
             self.ops = [NOOP]
         self.batches = batch_ops(self.ops)
         flat = [g for b in self.batches for g in b.groups]
-        digest = tuple(hp.hash_elements_padded(flat))
-        self.digest = _fingerprint_error_codes(digest, self.batches)
+        # The node digest is the PLAIN sequential hash of the op groups —
+        # exactly what the hasher chiplet recomputes during decoding
+        # (basic_block_node/mod.rs:680 batch_and_hash_ops). Error codes are
+        # folded only into the forest-dedup fingerprint
+        # (fingerprint_for_node, :841), never into the digest.
+        self.digest = tuple(hp.hash_elements_padded(flat))
+        self.fingerprint = _fingerprint_error_codes(self.digest, self.batches)
 
     children = ()
 
@@ -266,6 +272,7 @@ class MastForest:
     def __init__(self) -> None:
         self.nodes: list[MastNode] = []
         self._by_digest: dict[Word, int] = {}
+        self._by_fingerprint: dict[Word, int] = {}
         self.roots: list[int] = []
         self.advice_map: dict[Word, list[int]] = {}
 
@@ -273,12 +280,18 @@ class MastForest:
         return self.nodes[node_id]
 
     def _add(self, node: MastNode) -> int:
-        existing = self._by_digest.get(node.digest)
+        # Dedup by fingerprint (digest + error-code data for basic blocks,
+        # fingerprint_for_node, basic_block_node/mod.rs:841) so blocks that
+        # differ only in assert error codes stay distinct; digest-keyed
+        # resolution (External/Dyn) keeps the first node with each digest.
+        key = getattr(node, "fingerprint", node.digest)
+        existing = self._by_fingerprint.get(key)
         if existing is not None:
             return existing
         self.nodes.append(node)
         node_id = len(self.nodes) - 1
-        self._by_digest[node.digest] = node_id
+        self._by_fingerprint[key] = node_id
+        self._by_digest.setdefault(node.digest, node_id)
         return node_id
 
     def add_block(self, ops: list[Op]) -> int:

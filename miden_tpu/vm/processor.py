@@ -38,7 +38,7 @@ from .mast import (
     Program,
     SplitNode,
 )
-from .ops import Op
+from .ops import OPCODES, Op
 
 P = gl.P
 U32_MAX = 0xFFFFFFFF
@@ -147,19 +147,22 @@ class HasherAllocator:
 class NullTracer:
     """No-op tracer: plain execution."""
 
-    def on_join_start(self, node):
+    def attach(self, proc):
         pass
 
-    def on_split_start(self, node):
+    def on_join_start(self, node, addr):
         pass
 
-    def on_loop_start(self, node):
+    def on_split_start(self, node, addr):
         pass
 
-    def on_call_start(self, node, callee_hash):
+    def on_loop_start(self, node, addr):
         pass
 
-    def on_dyn_start(self, node, callee_hash):
+    def on_call_start(self, node, callee_hash, addr):
+        pass
+
+    def on_dyn_start(self, node, callee_hash, addr):
         pass
 
     def on_node_end(self, digest, is_loop_body, is_loop, is_call, is_syscall):
@@ -168,13 +171,16 @@ class NullTracer:
     def on_repeat(self, node):
         pass
 
-    def on_span_start(self, node):
+    def on_span_start(self, node, addr):
         pass
 
     def on_respan(self, node, batch_index):
         pass
 
-    def on_op(self, op, op_idx_in_group, helpers):
+    def pre_op(self, op, op_idx_in_group):
+        pass
+
+    def post_op(self, op, helpers):
         pass
 
     def on_halt(self):
@@ -211,6 +217,12 @@ class Processor:
         self.hasher = HasherAllocator()
         self.tracer = tracer or NullTracer()
         self.range_checks: list[int] = []  # 16-bit values to range check
+        # chiplet replay logs (execution_tracer.rs replay recording):
+        # mem_log entries: (kind in {re,we,rw,ww}, ctx, addr, clk, values)
+        self.mem_log: list[tuple] = []
+        self.bitwise_log: list[tuple] = []  # (is_xor, a, b, result)
+        self.kernel_log: list[tuple] = []  # accessed kernel proc digests
+        self.tracer.attach(self)
 
     # -- stack helpers ------------------------------------------------------
 
@@ -264,16 +276,23 @@ class Processor:
 
     def _execute_node(self, node_id: int, is_loop_body: bool = False) -> None:
         node = self.forest[node_id]
+        zero = (0, 0, 0, 0)
         if isinstance(node, BasicBlockNode):
             self._execute_basic_block(node, is_loop_body)
         elif isinstance(node, JoinNode):
-            self.tracer.on_join_start(node)
+            left = self.forest[node.children[0]].digest
+            right = self.forest[node.children[1]].digest
+            addr = self.hasher.hash_control_block(left, right, OPCODES["JOIN"])
+            self.tracer.on_join_start(node, addr)
             self._tick()
             self._execute_node(node.children[0])
             self._execute_node(node.children[1])
             self._end_node(node.digest, is_loop_body)
         elif isinstance(node, SplitNode):
-            self.tracer.on_split_start(node)
+            on_true = self.forest[node.children[0]].digest
+            on_false = self.forest[node.children[1]].digest
+            addr = self.hasher.hash_control_block(on_true, on_false, OPCODES["SPLIT"])
+            self.tracer.on_split_start(node, addr)
             cond = self.stack[0]
             self._drop()
             self._tick()
@@ -288,7 +307,9 @@ class Processor:
             # do-while semantics (execution/loop.rs): the body is entered
             # unconditionally; the condition it leaves on top decides REPEAT
             # (pop 1, re-enter) or END (pop 0, exit)
-            self.tracer.on_loop_start(node)
+            body = self.forest[node.children[0]].digest
+            addr = self.hasher.hash_control_block(body, zero, OPCODES["LOOP"])
+            self.tracer.on_loop_start(node, addr)
             self._tick()  # LOOP
             while True:
                 self._execute_node(node.children[0], is_loop_body=True)
@@ -303,18 +324,27 @@ class Processor:
                 self._tick()  # REPEAT
         elif isinstance(node, CallNode):
             callee = self.forest[node.children[0]]
-            self.tracer.on_call_start(node, callee.digest)
-            self._enter_call(node, callee)
+            domain = OPCODES["SYSCALL" if node.is_syscall else "CALL"]
+            addr = self.hasher.hash_control_block(callee.digest, zero, domain)
+            self.tracer.on_call_start(node, callee.digest, addr)
+            if node.is_syscall:
+                self.kernel_log.append(callee.digest)
+            row_clk = self.clk
+            self._tick()
+            self._enter_call(node, callee, row_clk)
             self._execute_node(node.children[0])
             self._exit_call(node.digest, is_loop_body, node.is_syscall)
         elif isinstance(node, DynNode):
             # DYN/DYNCALL (execution/dyn.rs): read the callee hash from the
             # memory word at address s0, then shift the stack left by one
-            addr = self.stack[0]
-            if addr > U32_MAX or addr % 4:
-                raise ExecutionError(f"dyn: invalid callee-hash address {addr}")
-            digest = tuple(self.memory.get((self.ctx, addr), [0, 0, 0, 0]))
-            self.tracer.on_dyn_start(node, digest)
+            addr_ptr = self.stack[0]
+            if addr_ptr > U32_MAX or addr_ptr % 4:
+                raise ExecutionError(f"dyn: invalid callee-hash address {addr_ptr}")
+            digest = tuple(self.memory.get((self.ctx, addr_ptr), [0, 0, 0, 0]))
+            domain = OPCODES["DYNCALL" if node.is_dyncall else "DYN"]
+            addr = self.hasher.hash_control_block(zero, zero, domain)
+            self.mem_log.append(("rw", self.ctx, addr_ptr, self.clk, list(digest)))
+            self.tracer.on_dyn_start(node, digest, addr)
             self._drop()
             target = self.forest.find_root(digest)
             if target is None:
@@ -323,8 +353,9 @@ class Processor:
                 raise ExecutionError(f"dynamic target {digest} not found")
             if node.is_dyncall:
                 callee = self.forest[target]
+                row_clk = self.clk
                 self._tick()
-                self._enter_call(node, callee, ticked=False)
+                self._enter_call(node, callee, row_clk)
                 self._execute_node(target)
                 self._exit_call(node.digest, is_loop_body, is_syscall=False)
             else:
@@ -353,7 +384,8 @@ class Processor:
         self._tick()  # END
 
     def _execute_basic_block(self, node: BasicBlockNode, is_loop_body: bool) -> None:
-        self.tracer.on_span_start(node)
+        addr = self.hasher.hash_basic_block([list(b.groups) for b in node.batches])
+        self.tracer.on_span_start(node, addr)
         self._tick()  # SPAN
         for batch_index, batch in enumerate(node.batches):
             if batch_index > 0:
@@ -363,14 +395,13 @@ class Processor:
                 start, end = batch.indptr[group_idx], batch.indptr[group_idx + 1]
                 for op_idx_in_group, i in enumerate(range(start, end)):
                     op = batch.ops[i]
+                    self.tracer.pre_op(op, op_idx_in_group)
                     helpers = self._execute_op(op)
-                    self.tracer.on_op(op, op_idx_in_group, helpers or [0] * 6)
+                    self.tracer.post_op(op, helpers or [0] * 6)
                     self._tick()
         self._end_node(node.digest, is_loop_body)
 
-    def _enter_call(self, node, callee, ticked: bool = True) -> None:
-        if ticked:
-            self._tick()
+    def _enter_call(self, node, callee, row_clk: int) -> None:
         self._ctx_stack.append(
             (
                 self.ctx,
@@ -395,6 +426,7 @@ class Processor:
             # initialize the frame pointer in the new context
             # (FMP_ADDR = 2^32−1 ← FMP_INIT = 2^31, docs decoder/index.md §CALL)
             self.memory.setdefault((self.ctx, U32_MAX - 3), [0, 0, 0, 0])[3] = 1 << 31
+            self.mem_log.append(("we", self.ctx, U32_MAX, row_clk, [1 << 31]))
         self.stack = self.stack[:MIN_STACK_DEPTH]
         self.depth = MIN_STACK_DEPTH
         self.overflow_addrs = []
@@ -680,10 +712,12 @@ class Processor:
             a, b = self._u32(0), self._u32(1)
             self._drop()
             s[0] = a & b
+            self.bitwise_log.append((0, a, b, a & b))
         elif name == "U32XOR":
             a, b = self._u32(0), self._u32(1)
             self._drop()
             s[0] = a ^ b
+            self.bitwise_log.append((1, a, b, a ^ b))
         elif name == "U32ASSERT2":
             first, second = self._u32(0), self._u32(1)
             t0, t1 = _u16_limbs(second)
@@ -733,11 +767,14 @@ class Processor:
         elif name == "ADVPOPW":
             s[0:4] = [v % P for v in self.advice.pop_stack_word()]
         elif name == "MLOAD":
-            s[0] = self._mem_read_element(s[0])
+            addr = s[0]
+            s[0] = self._mem_read_element(addr)
+            self.mem_log.append(("re", self.ctx, addr, self.clk, [s[0]]))
         elif name == "MLOADW":
             addr = s[0]
             self._drop()
             s[0:4] = list(self._mem_word(addr))
+            self.mem_log.append(("rw", self.ctx, addr, self.clk, s[0:4]))
         elif name == "MSTORE":
             addr = s[0]
             self._drop()
@@ -745,10 +782,12 @@ class Processor:
                 raise ExecutionError(f"invalid address {addr}")
             word = self.memory.setdefault((self.ctx, addr - addr % 4), [0, 0, 0, 0])
             word[addr % 4] = s[0]
+            self.mem_log.append(("we", self.ctx, addr, self.clk, [s[0]]))
         elif name == "MSTOREW":
             addr = s[0]
             self._drop()
             self._mem_word(addr)[:] = s[0:4]
+            self.mem_log.append(("ww", self.ctx, addr, self.clk, s[0:4]))
         elif name == "MSTREAM":
             # Two words from mem[s[12]]; the word at addr goes to the top,
             # s[12] += 8 (io_ops/mod.rs:226-252).
@@ -756,6 +795,8 @@ class Processor:
             s[0:4] = list(self._mem_word(addr))
             s[4:8] = list(self._mem_word(addr + 4))
             s[12] = (addr + 8) % P
+            self.mem_log.append(("rw", self.ctx, addr, self.clk, s[0:4]))
+            self.mem_log.append(("rw", self.ctx, addr + 4, self.clk, s[4:8]))
         elif name == "PIPE":
             # Two advice words → memory and stack; first popped word on top
             # (io_ops/mod.rs:276-305).
@@ -767,6 +808,8 @@ class Processor:
             s[0:4] = w0
             s[4:8] = w1
             s[12] = (addr + 8) % P
+            self.mem_log.append(("ww", self.ctx, addr, self.clk, w0))
+            self.mem_log.append(("ww", self.ctx, addr + 4, self.clk, w1))
         # crypto ops (execution/operations/crypto_ops)
         elif name == "HPERM":
             state = [s[i] for i in range(12)]

@@ -133,12 +133,16 @@ class TestMastDigests:
         a, b = forest.add_block([ADD]), forest.add_block([MUL])
         assert forest.add_join(a, b) == forest.add_join(a, b)
 
-    def test_error_code_changes_digest(self):
-        plain = MastForest().add_block  # noqa: F841
+    def test_error_code_kept_out_of_digest(self):
+        # The digest is the plain sequential hash (what the hasher chiplet
+        # recomputes); error codes only alter the forest-dedup fingerprint
+        # (basic_block_node/mod.rs:841 fingerprint_for_node).
         f = MastForest()
         n1 = f.add_block([push(1), Op("ASSERT")])
         n2 = f.add_block([push(1), Op("ASSERT", err_code=7)])
-        assert f[n1].digest != f[n2].digest
+        assert n1 != n2
+        assert f[n1].digest == f[n2].digest
+        assert f[n1].fingerprint != f[n2].fingerprint
 
 
 def run(ops, stack=None, advice=None):
