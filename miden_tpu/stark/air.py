@@ -379,19 +379,27 @@ class Folder:
         else:
             self.acc = self.acc * self._alpha + e
 
-    def assert_zero(self, e: Expr) -> None:
+    def assert_zero(self, e: Expr, label: str | None = None) -> None:
         """Constraint holding on every row."""
+        self._tag(label)
         self._fold(e)
 
-    def assert_zero_first_row(self, e: Expr) -> None:
+    def assert_zero_first_row(self, e: Expr, label: str | None = None) -> None:
+        self._tag(label)
         self._fold(e * self.is_first_row())
 
-    def assert_zero_last_row(self, e: Expr) -> None:
+    def assert_zero_last_row(self, e: Expr, label: str | None = None) -> None:
+        self._tag(label)
         self._fold(e * self.is_last_row())
 
-    def assert_transition(self, e: Expr) -> None:
+    def assert_transition(self, e: Expr, label: str | None = None) -> None:
         """Constraint holding on every row but the last."""
+        self._tag(label)
         self._fold(e * self.is_transition())
+
+    def _tag(self, label: str | None) -> None:
+        """Debug folders override to record the label of the next
+        constraint; production folders ignore labels entirely."""
 
     # --- stacked (family) sinks ---
     def _fold_many(self, e: Expr) -> None:
@@ -443,16 +451,20 @@ class Folder:
         else:
             self.acc = self.acc * alpha_g + folded_e
 
-    def assert_zero_many(self, e: Expr) -> None:
+    def assert_zero_many(self, e: Expr, label: str | None = None) -> None:
+        self._tag(label)
         self._fold_many(e)
 
-    def assert_zero_first_row_many(self, e: Expr) -> None:
+    def assert_zero_first_row_many(self, e: Expr, label: str | None = None) -> None:
+        self._tag(label)
         self._fold_many(e * self.is_first_row())
 
-    def assert_zero_last_row_many(self, e: Expr) -> None:
+    def assert_zero_last_row_many(self, e: Expr, label: str | None = None) -> None:
+        self._tag(label)
         self._fold_many(e * self.is_last_row())
 
-    def assert_transition_many(self, e: Expr) -> None:
+    def assert_transition_many(self, e: Expr, label: str | None = None) -> None:
+        self._tag(label)
         self._fold_many(e * self.is_transition())
 
 

@@ -1,0 +1,533 @@
+"""Core VM AIR: decoder, system, stack, and range-checker constraints.
+
+Constraint spec sources (implemented from the protocol docs, not the code):
+  - docs/src/design/decoder/constraints.md  (decoder families)
+  - docs/src/design/stack/{index,op_constraints,field_ops,stack_ops,
+    u32_ops,io_ops,system_ops}.md            (stack families)
+  - docs/src/design/range.md                 (range checker column)
+
+This first stage covers every non-lookup constraint; the LogUp buses
+(block stack/hash, op-group, overflow, range, chiplets) land in the aux
+layer. Opcodes whose semantics are not yet constrained (crypto/stream
+ops) are *forbidden*: their flags are constrained to zero, keeping the
+implemented subset sound.
+
+Public values layout: [stack_in(16), stack_out(16), program_hash(4)].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...stark.air import Air
+from .. import layout as L
+from ..ops import OPCODES
+from .op_flags import OpFlags
+
+P2_16 = 1 << 16
+P2_32 = 1 << 32
+P2_48 = 1 << 48
+U32M = P2_32 - 1
+
+# opcodes executable by the VM but not yet constraint-covered; their flags
+# are forced to zero so the implemented subset stays sound
+FORBIDDEN_OPS = (
+    "FRIE2F4",
+    "HPERM",
+    "MPVERIFY",
+    "PIPE",
+    "MSTREAM",
+    "HORNERBASE",
+    "HORNEREXT",
+    "EVALCIRCUIT",
+    "LOGDEFERRED",
+    "MRUPDATE",
+    "CRYPTOSTREAM",
+)
+
+CTRL_OPS = (
+    "JOIN", "SPLIT", "LOOP", "REPEAT", "SPAN", "RESPAN",
+    "DYN", "DYNCALL", "CALL", "SYSCALL", "END", "HALT",
+)
+
+
+def _limb2(h, i):
+    """h[i] + 2^16 · h[i+1]."""
+    return h[i] + h[i + 1] * P2_16
+
+
+def _limb4(h):
+    return h[0] + h[1] * P2_16 + h[2] * P2_32 + h[3] * P2_48
+
+
+def _validity(h, lo, hi):
+    """(1 - m·(2^32-1-hi)) · lo — the field-element validity check
+    (u32_ops.md §checking element validity); m is helper h[4]."""
+    return (1 - h[4] * (U32M - hi)) * lo
+
+
+# ---------------------------------------------------------------------------
+# Per-op stack behavior table.
+#
+# no / left / right: positions d where the generic transition applies —
+#   no:    s'_d = s_d
+#   left:  s'_{d-1} = s_d   (d ≥ 1)
+#   right: s'_{d+1} = s_d   (d ≤ 14)
+# spec(s, t, h, env) -> [(expr, label)] op-specific constraints, each of
+# degree ≤ 9 - flag_degree.
+# ---------------------------------------------------------------------------
+
+
+def _movup(n):
+    return dict(right=range(0, n), no=range(n + 1, 16),
+                spec=lambda s, t, h, v: [(t[0] - s[n], f"movup{n}")])
+
+
+def _movdn(n):
+    return dict(left=range(1, n + 1), no=range(n + 1, 16),
+                spec=lambda s, t, h, v: [(t[n] - s[0], f"movdn{n}")])
+
+
+def _dup(n):
+    return dict(right=range(0, 15),
+                spec=lambda s, t, h, v: [(t[0] - s[n], f"dup{n}")])
+
+
+def _swapw_spec(off):
+    def spec(s, t, h, v):
+        out = []
+        for i in range(4):
+            out.append((t[i] - s[i + off], f"swapw@{i}"))
+            out.append((t[i + off] - s[i], f"swapw@{i + off}"))
+        return out
+
+    return spec
+
+
+def _u32_add_like(terms, label):
+    def spec(s, t, h, v):
+        total = terms(s)
+        return [
+            (total - (h[2] * P2_32 + _limb2(h, 0)), f"{label}/decomp"),
+            (t[0] - _limb2(h, 0), f"{label}/lo"),
+            (t[1] - h[2], f"{label}/carry"),
+            (h[3], f"{label}/h3"),
+        ]
+
+    return spec
+
+
+def _u32_mul_like(terms, label):
+    def spec(s, t, h, v):
+        total = terms(s)
+        return [
+            (total - _limb4(h), f"{label}/decomp"),
+            (t[0] - _limb2(h, 0), f"{label}/lo"),
+            (t[1] - _limb2(h, 2), f"{label}/hi"),
+            (_validity(h, _limb2(h, 0), _limb2(h, 2)), f"{label}/valid"),
+        ]
+
+    return spec
+
+
+STACK_SPEC: dict = {
+    "NOOP": dict(no=range(0, 16)),
+    "EQZ": dict(no=range(1, 16), spec=lambda s, t, h, v: [
+        (s[0] * t[0], "eqz/zero"),
+        (t[0] - (1 - s[0] * h[0]), "eqz/inv"),
+    ]),
+    "NEG": dict(no=range(1, 16), spec=lambda s, t, h, v: [(t[0] + s[0], "neg")]),
+    "INV": dict(no=range(1, 16), spec=lambda s, t, h, v: [(t[0] * s[0] - 1, "inv")]),
+    "INCR": dict(no=range(1, 16), spec=lambda s, t, h, v: [(t[0] - s[0] - 1, "incr")]),
+    "NOT": dict(no=range(1, 16), spec=lambda s, t, h, v: [
+        (s[0] * s[0] - s[0], "not/bin"),
+        (t[0] - (1 - s[0]), "not"),
+    ]),
+    "MLOAD": dict(no=range(1, 16)),  # t0 bound by the memory chiplet bus
+    "SWAP": dict(no=range(2, 16), spec=lambda s, t, h, v: [
+        (t[0] - s[1], "swap/0"), (t[1] - s[0], "swap/1"),
+    ]),
+    "CALLER": dict(no=range(4, 16), spec=lambda s, t, h, v: [
+        (t[i] - v["fn"][i], f"caller/{i}") for i in range(4)
+    ]),
+    "MOVUP2": _movup(2), "MOVDN2": _movdn(2),
+    "MOVUP3": _movup(3), "MOVDN3": _movdn(3),
+    "ADVPOPW": dict(no=range(4, 16)),
+    "EXPACC": dict(no=range(4, 16), spec=lambda s, t, h, v: [
+        (t[0] * t[0] - t[0], "expacc/bit"),
+        (t[1] - s[1] * s[1], "expacc/base"),
+        (h[0] - (1 + t[0] * (s[1] - 1)), "expacc/update"),
+        (t[2] - s[2] * h[0], "expacc/acc"),
+        (s[3] - (t[3] + t[3] + t[0]), "expacc/exp"),
+    ]),
+    "MOVUP4": _movup(4), "MOVDN4": _movdn(4),
+    "MOVUP5": _movup(5), "MOVDN5": _movdn(5),
+    "MOVUP6": _movup(6), "MOVDN6": _movdn(6),
+    "MOVUP7": _movup(7), "MOVDN7": _movdn(7),
+    "SWAPW": dict(no=range(8, 16), spec=_swapw_spec(4)),
+    "EXT2MUL": dict(no=[0, 1, *range(4, 16)], spec=lambda s, t, h, v: [
+        (t[2] - (s[2] * s[0] + 7 * s[3] * s[1]), "ext2mul/c0"),
+        (t[3] - (s[2] * s[1] + s[3] * s[0]), "ext2mul/c1"),
+    ]),
+    "MOVUP8": _movup(8), "MOVDN8": _movdn(8),
+    "SWAPW2": dict(no=[*range(4, 8), *range(12, 16)], spec=_swapw_spec(8)),
+    "SWAPW3": dict(no=range(4, 12), spec=_swapw_spec(12)),
+    "SWAPDW": dict(spec=lambda s, t, h, v: [
+        c for i in range(8)
+        for c in ((t[i] - s[i + 8], f"swapdw/{i}"), (t[i + 8] - s[i], f"swapdw/{i + 8}"))
+    ]),
+    "EMIT": dict(no=range(0, 16)),
+    # -- left-shift group ---------------------------------------------------
+    "ASSERT": dict(left=range(1, 16), spec=lambda s, t, h, v: [(s[0] - 1, "assert")]),
+    "EQ": dict(left=range(2, 16), spec=lambda s, t, h, v: [
+        ((s[0] - s[1]) * t[0], "eq/zero"),
+        (t[0] - (1 - (s[0] - s[1]) * h[0]), "eq/inv"),
+    ]),
+    "ADD": dict(left=range(2, 16), spec=lambda s, t, h, v: [(t[0] - (s[0] + s[1]), "add")]),
+    "MUL": dict(left=range(2, 16), spec=lambda s, t, h, v: [(t[0] - s[0] * s[1], "mul")]),
+    "AND": dict(left=range(2, 16), spec=lambda s, t, h, v: [
+        (s[0] * s[0] - s[0], "and/bin0"),
+        (s[1] * s[1] - s[1], "and/bin1"),
+        (t[0] - s[0] * s[1], "and"),
+    ]),
+    "OR": dict(left=range(2, 16), spec=lambda s, t, h, v: [
+        (s[0] * s[0] - s[0], "or/bin0"),
+        (s[1] * s[1] - s[1], "or/bin1"),
+        (t[0] - (s[0] + s[1] - s[0] * s[1]), "or"),
+    ]),
+    "U32AND": dict(left=range(2, 16)),  # t0 bound by the bitwise chiplet bus
+    "U32XOR": dict(left=range(2, 16)),
+    "DROP": dict(left=range(1, 16)),
+    "CSWAP": dict(left=range(3, 16), spec=lambda s, t, h, v: [
+        (s[0] * s[0] - s[0], "cswap/bin"),
+        (t[0] - (s[0] * s[2] + (1 - s[0]) * s[1]), "cswap/0"),
+        (t[1] - (s[0] * s[1] + (1 - s[0]) * s[2]), "cswap/1"),
+    ]),
+    "CSWAPW": dict(left=range(9, 16), spec=lambda s, t, h, v: [
+        (s[0] * s[0] - s[0], "cswapw/bin"),
+        *[
+            c for i in range(4) for c in (
+                (t[i] - (s[0] * s[i + 5] + (1 - s[0]) * s[i + 1]), f"cswapw/{i}"),
+                (t[i + 4] - (s[0] * s[i + 1] + (1 - s[0]) * s[i + 5]), f"cswapw/{i + 4}"),
+            )
+        ],
+    ]),
+    "MLOADW": dict(left=range(5, 16)),  # t0..t3 bound by the memory bus
+    "MSTORE": dict(left=range(1, 16)),
+    "MSTOREW": dict(left=range(1, 16)),
+    # -- right-shift group --------------------------------------------------
+    "PAD": dict(right=range(0, 15), spec=lambda s, t, h, v: [(t[0], "pad")]),
+    "DUP0": _dup(0), "DUP1": _dup(1), "DUP2": _dup(2), "DUP3": _dup(3),
+    "DUP4": _dup(4), "DUP5": _dup(5), "DUP6": _dup(6), "DUP7": _dup(7),
+    "DUP9": _dup(9), "DUP11": _dup(11), "DUP13": _dup(13), "DUP15": _dup(15),
+    "ADVPOP": dict(right=range(0, 15)),
+    "SDEPTH": dict(right=range(0, 15), spec=lambda s, t, h, v: [
+        (t[0] - v["b0"], "sdepth"),
+    ]),
+    "CLK": dict(right=range(0, 15), spec=lambda s, t, h, v: [(t[0] - v["clk"], "clk")]),
+    # -- u32 group (flag degree 6, constraints ≤ 3) -------------------------
+    "U32ADD": dict(no=range(2, 16), spec=_u32_add_like(lambda s: s[0] + s[1], "u32add")),
+    "U32SUB": dict(no=range(2, 16), spec=lambda s, t, h, v: [
+        (s[1] - (s[0] + t[1] - t[0] * P2_32), "u32sub/eq"),
+        (t[0] * t[0] - t[0], "u32sub/borrow"),
+        (t[1] - _limb2(h, 0), "u32sub/limbs"),
+        (h[2], "u32sub/h2"),
+        (h[3], "u32sub/h3"),
+    ]),
+    "U32MUL": dict(no=range(2, 16), spec=_u32_mul_like(lambda s: s[0] * s[1], "u32mul")),
+    "U32DIV": dict(no=range(2, 16), spec=lambda s, t, h, v: [
+        (s[1] - (s[0] * t[1] + t[0]), "u32div/eq"),
+        ((s[1] - t[1]) - _limb2(h, 0), "u32div/qbound"),
+        ((s[0] - t[0] - 1) - _limb2(h, 2), "u32div/rbound"),
+    ]),
+    "U32SPLIT": dict(right=range(1, 15), spec=lambda s, t, h, v: [
+        (s[0] - _limb4(h), "u32split/decomp"),
+        (t[0] - _limb2(h, 0), "u32split/lo"),
+        (t[1] - _limb2(h, 2), "u32split/hi"),
+        (_validity(h, _limb2(h, 0), _limb2(h, 2)), "u32split/valid"),
+    ]),
+    "U32ASSERT2": dict(no=range(0, 16), spec=lambda s, t, h, v: [
+        (t[0] - _limb2(h, 2), "u32assert2/s0"),
+        (t[1] - _limb2(h, 0), "u32assert2/s1"),
+    ]),
+    "U32ADD3": dict(left=range(3, 16),
+                    spec=_u32_add_like(lambda s: s[0] + s[1] + s[2], "u32add3")),
+    "U32MADD": dict(left=range(3, 16),
+                    spec=_u32_mul_like(lambda s: s[0] * s[1] + s[2], "u32madd")),
+    # -- control flow (stack side) ------------------------------------------
+    "SPAN": dict(no=range(0, 16)),
+    "JOIN": dict(no=range(0, 16)),
+    "LOOP": dict(no=range(0, 16)),
+    "RESPAN": dict(no=range(0, 16)),
+    "HALT": dict(no=range(0, 16)),
+    "CALL": dict(no=range(0, 16)),
+    "SYSCALL": dict(no=range(0, 16)),
+    "SPLIT": dict(left=range(1, 16)),
+    "REPEAT": dict(left=range(1, 16)),
+    "DYN": dict(left=range(1, 16)),
+    "DYNCALL": dict(left=range(1, 16)),
+    "PUSH": dict(right=range(0, 15)),  # t0 = immediate, bound by op-group table
+    # END handled separately (conditional on h5)
+}
+
+
+class CoreVmAir(Air):
+    """The Miden core AIR (system + decoder + stack + range, 51 columns)."""
+
+    width = L.CORE_WIDTH
+    aux_width = 0
+    num_randomness = 0
+    num_aux_values = 0
+    num_public_values = 36  # stack_in(16) | stack_out(16) | program_hash(4)
+
+    def eval(self, f) -> None:  # noqa: C901
+        fl = OpFlags(f)
+        flg = fl.flags
+        b = fl.bits
+
+        # ---- op bit / extra column well-formedness ------------------------
+        for i in range(7):
+            f.assert_zero(b[i] * b[i] - b[i], f"opbit{i}/binary")
+        f.assert_zero(fl.e0 - b[6] * (1 - b[5]) * b[4], "extra0")
+        f.assert_zero(fl.e1 - b[6] * b[5], "extra1")
+        f.assert_zero(fl.u32_rc * b[0], "prefix100/b0")
+        f.assert_zero(fl.e1 * b[0], "prefix11/b0")
+        f.assert_zero(fl.e1 * b[1], "prefix11/b1")
+
+        for name in FORBIDDEN_OPS:
+            f.assert_zero(flg[name], f"forbidden/{name.lower()}")
+        # unused opcode slots in the degree-7/5 groups
+        for code in (6, 47):
+            lo = code & 0xF
+            v5, v4 = (code >> 5) & 1, (code >> 4) & 1
+            flag = (
+                (1 - b[6])
+                * (b[5] if v5 else 1 - b[5])
+                * (b[4] if v4 else 1 - b[4])
+            )
+            for k in range(4):
+                flag = flag * (b[k] if (lo >> k) & 1 else 1 - b[k])
+            f.assert_zero(flag, f"forbidden/op{code}")
+        e0f = fl.e0
+        for k in range(4):
+            e0f = e0f * (b[k] if (15 >> k) & 1 else 1 - b[k])
+        f.assert_zero(e0f, "forbidden/op95")
+
+        # ---- decoder: general ---------------------------------------------
+        s = [f.main(c) for c in L.STACK_TOP]
+        t = [f.main(c, 1) for c in L.STACK_TOP]
+        h = [f.main(c) for c in L.HASHER]
+        hn = [f.main(c, 1) for c in L.HASHER]
+        a = f.main(L.ADDR)
+        an = f.main(L.ADDR, 1)
+        sp = f.main(L.IN_SPAN)
+        spn = f.main(L.IN_SPAN, 1)
+        gc = f.main(L.GROUP_COUNT)
+        gcn = f.main(L.GROUP_COUNT, 1)
+        ox = f.main(L.OP_INDEX)
+        oxn = f.main(L.OP_INDEX, 1)
+        clk = f.main(L.CLK)
+
+        f.assert_zero(flg["SPLIT"] * (s[0] * s[0] - s[0]), "split/binary")
+        for i in range(4, 8):
+            f.assert_zero(flg["DYN"] * h[i], f"dyn/h{i}")
+        f.assert_zero(flg["REPEAT"] * (1 - s[0]), "repeat/s0")
+        f.assert_zero(flg["REPEAT"] * (1 - h[4]), "repeat/in_loop")
+        f.assert_transition(flg["RESPAN"] * (an - a - 2), "respan/addr")
+        f.assert_zero(flg["END"] * h[5] * s[0], "end/loop_cond")
+        for i in range(5):
+            f.assert_transition(
+                flg["END"] * fl.next_ctrl["REPEAT"] * (hn[i] - h[i]),
+                f"end_repeat/h{i}",
+            )
+        halt_next = fl.next_ctrl["HALT"]
+        f.assert_transition(flg["HALT"] * (1 - halt_next), "halt/chain")
+        f.assert_zero(flg["HALT"] * a, "halt/addr")
+        for i in range(4):
+            f.assert_transition(flg["HALT"] * (hn[i] - h[i]), f"halt/h{i}")
+        f.assert_zero(1 - sp - fl.control_flow, "in_span/ctrl")
+        f.assert_zero_first_row(sp, "first/in_span")
+        span_or_respan = flg["SPAN"] + flg["RESPAN"]
+        f.assert_transition(span_or_respan * (1 - spn), "span/next_sp")
+        f.assert_transition(sp * (an - a), "span/addr_copy")
+
+        # ---- decoder: group count -----------------------------------------
+        dgc = gc - gcn
+        imm = fl.imm
+        f.assert_transition(sp * dgc * (dgc - 1), "gc/delta")
+        f.assert_transition(sp * dgc * (1 - imm) * h[0], "gc/group_done")
+        f.assert_transition((span_or_respan + imm) * (dgc - 1), "gc/decrement")
+        end_or_respan_next = fl.next_ctrl["END"] + fl.next_ctrl["RESPAN"]
+        f.assert_transition(dgc * end_or_respan_next, "gc/freeze")
+        f.assert_zero(flg["END"] * gc, "end/gc")
+
+        # ---- decoder: op group decoding -----------------------------------
+        op_next = sum(
+            (f.main(L.OP_BITS[i], 1) * (1 << i) for i in range(1, 7)),
+            f.main(L.OP_BITS[0], 1),
+        )
+        f_sgc = sp * spn * (1 - dgc)
+        f.assert_transition(
+            (span_or_respan + imm + f_sgc) * (h[0] - hn[0] * 128 - op_next),
+            "opgroup/decode",
+        )
+        f.assert_transition(sp * end_or_respan_next * h[0], "opgroup/exhausted")
+
+        # ---- decoder: op index --------------------------------------------
+        ng = dgc - imm
+        f.assert_transition(span_or_respan * oxn, "opindex/reset_span")
+        f.assert_transition(sp * ng * oxn, "opindex/reset_group")
+        dox = oxn - ox
+        f.assert_transition(sp * spn * (1 - ng) * (dox - 1), "opindex/incr")
+        prod = ox
+        for i in range(1, 9):
+            prod = prod * (ox - i)
+        f.assert_zero(prod, "opindex/range")
+
+        # ---- decoder: batch flags -----------------------------------------
+        c0 = f.main(L.BATCH_FLAGS[0])
+        c1 = f.main(L.BATCH_FLAGS[1])
+        c2 = f.main(L.BATCH_FLAGS[2])
+        for i, c in enumerate((c0, c1, c2)):
+            f.assert_zero(c * c - c, f"batch{i}/binary")
+        fg8 = c0
+        fg4 = (1 - c0) * c1 * (1 - c2)
+        fg2 = (1 - c0) * (1 - c1) * c2
+        fg1 = (1 - c0) * c1 * c2
+        f.assert_zero(span_or_respan - (fg1 + fg2 + fg4 + fg8), "batch/one_hot")
+        f.assert_zero((1 - span_or_respan) * (c0 + c1 + c2), "batch/off")
+        for i in range(4, 8):
+            f.assert_zero((fg1 + fg2 + fg4) * h[i], f"batch/le4_h{i}")
+        for i in (2, 3):
+            f.assert_zero((fg1 + fg2) * h[i], f"batch/le2_h{i}")
+        f.assert_zero(fg1 * h[1], "batch/le1_h1")
+
+        # ---- system --------------------------------------------------------
+        ctx = f.main(L.CTX)
+        ctxn = f.main(L.CTX, 1)
+        fn = [f.main(c) for c in L.FN_HASH]
+        fnn = [f.main(c, 1) for c in L.FN_HASH]
+        f.assert_zero_first_row(clk, "first/clk")
+        f.assert_zero_first_row(ctx, "first/ctx")
+        for i in range(4):
+            f.assert_zero_first_row(fn[i], f"first/fn{i}")
+        f.assert_transition(f.main(L.CLK, 1) - clk - 1, "clk/incr")
+        call_or_dyncall = flg["CALL"] + flg["DYNCALL"]
+        f.assert_transition(call_or_dyncall * (ctxn - clk - 1), "ctx/call")
+        f.assert_transition(flg["SYSCALL"] * ctxn, "ctx/syscall")
+        end_call = flg["END"] * (h[6] + h[7])
+        f.assert_transition(
+            (1 - fl.call_entry - end_call) * (ctxn - ctx), "ctx/copy"
+        )
+        for i in range(4):
+            f.assert_transition(call_or_dyncall * (fnn[i] - h[i]), f"fn{i}/call")
+            f.assert_transition(
+                (1 - call_or_dyncall - flg["END"] * h[6]) * (fnn[i] - fn[i]),
+                f"fn{i}/copy",
+            )
+
+        # ---- stack: per-op constraints ------------------------------------
+        uh = [f.main(c) for c in L.USER_OP_HELPERS]
+        b0 = f.main(L.B0)
+        b0n = f.main(L.B0, 1)
+        b1 = f.main(L.B1)
+        b1n = f.main(L.B1, 1)
+        sh0 = f.main(L.H0)
+        env = {"fn": fn, "b0": b0, "clk": clk, "f": f}
+
+        no_at = [None] * 16
+        left_at = [None] * 16  # index d: s'_{d-1} = s_d
+        right_at = [None] * 16  # index d: s'_{d+1} = s_d
+
+        def acc(arr, d, flag):
+            arr[d] = flag if arr[d] is None else arr[d] + flag
+
+        for name, spec in STACK_SPEC.items():
+            flag = flg[name]
+            for d in spec.get("no", ()):
+                acc(no_at, d, flag)
+            for d in spec.get("left", ()):
+                acc(left_at, d, flag)
+            for d in spec.get("right", ()):
+                if d < 15:
+                    acc(right_at, d, flag)
+            fn_spec = spec.get("spec")
+            if fn_spec is not None:
+                for expr, label in fn_spec(s, t, uh, env):
+                    f.assert_transition(flag * expr, f"{name.lower()}:{label}")
+        # END: no-shift unless ending a loop (left shift)
+        end_no = flg["END"] * (1 - h[5])
+        end_left = flg["END"] * h[5]
+        for d in range(16):
+            acc(no_at, d, end_no)
+            if d >= 1:
+                acc(left_at, d, end_left)
+
+        for d in range(16):
+            if no_at[d] is not None:
+                f.assert_transition(no_at[d] * (t[d] - s[d]), f"stack/no_shift{d}")
+            if d >= 1 and left_at[d] is not None:
+                f.assert_transition(
+                    left_at[d] * (t[d - 1] - s[d]), f"stack/left{d}"
+                )
+            if d < 15 and right_at[d] is not None:
+                f.assert_transition(
+                    right_at[d] * (t[d + 1] - s[d]), f"stack/right{d}"
+                )
+
+        # ---- stack: depth / overflow bookkeeping --------------------------
+        f_ov = (b0 - 16) * sh0
+        f.assert_zero((1 - f_ov) * (b0 - 16), "overflow/flag")
+        f_shl = fl.shift_left
+        f_shr = fl.shift_right
+        f.assert_transition(
+            (b0n - b0) * (1 - fl.call_entry - end_call)
+            + f_shl * f_ov
+            - f_shr
+            + fl.call_entry * (b0n - 16),
+            "stack/depth",
+        )
+        f.assert_transition(f_shr * (b1n - clk), "overflow/push_addr")
+        f.assert_transition(f_shl * (1 - f_ov) * t[15], "stack/shift_in_zero")
+        f.assert_transition(fl.call_entry * b1n, "overflow/call_reset")
+
+        # ---- range checker -------------------------------------------------
+        rv = f.main(L.RC_VALUE)
+        rvn = f.main(L.RC_VALUE, 1)
+        dv = rvn - rv
+        steps = dv
+        for k in range(8):
+            steps = steps * (dv - 3**k)
+        f.assert_transition(steps, "range/steps")
+        f.assert_zero_first_row(rv, "range/first")
+        f.assert_zero_last_row(rv - 65535, "range/last")
+
+        # ---- boundaries ----------------------------------------------------
+        for i in range(16):
+            f.assert_zero_first_row(s[i] - f.public(i), f"boundary/stack_in{i}")
+            f.assert_zero_last_row(s[i] - f.public(16 + i), f"boundary/stack_out{i}")
+        f.assert_zero_first_row(b0 - 16, "boundary/b0_first")
+        f.assert_zero_last_row(b0 - 16, "boundary/b0_last")
+        f.assert_zero_first_row(b1, "boundary/b1_first")
+        f.assert_zero_last_row(b1, "boundary/b1_last")
+        for i in range(4):
+            f.assert_zero_last_row(
+                h[i] - f.public(32 + i), f"boundary/program_hash{i}"
+            )
+
+
+def check_core_trace(trace, max_violations: int = 20):
+    """Debug-check a CoreTrace against CoreVmAir (exact scalar arithmetic)."""
+    from ...stark.debug import check_air
+
+    publics = (
+        list(trace.stack_inputs)
+        + list(trace.stack_outputs)
+        + list(trace.program_hash)
+    )
+    return check_air(
+        CoreVmAir(),
+        np.asarray(trace.matrix, dtype=np.uint64),
+        publics=publics,
+        max_violations=max_violations,
+    )

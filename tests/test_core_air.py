@@ -1,0 +1,156 @@
+"""Core VM AIR tests: real traces satisfy every constraint family; corrupted
+traces are rejected.
+
+Mirrors the reference's `check_constraints` debug-checker strategy
+(crates/lifted-stark/src/debug.rs) on the Miden decoder/stack/range
+constraint set (docs/src/design/{decoder,stack,range}).
+"""
+
+import dataclasses
+
+import pytest
+
+from miden_tpu.field import gl
+from miden_tpu.vm import layout as L
+from miden_tpu.vm.assembler import assemble
+from miden_tpu.vm.constraints import CoreVmAir, check_core_trace
+from miden_tpu.vm.processor import AdviceProvider
+from miden_tpu.vm.trace import execute_and_trace
+
+PROGRAMS = {
+    "fib": (
+        "begin push.0 push.1 repeat.10 swap dup.1 add end swap drop swap drop end",
+        [],
+        None,
+    ),
+    "loop_sum": (
+        """
+        begin
+            push.0 swap dup.0 neq.0
+            while.true dup.0 movup.2 add swap sub.1 dup.0 neq.0 end
+            drop
+        end
+        """,
+        [7],
+        None,
+    ),
+    "call_u32": (
+        """
+        proc lowbits
+            u32split drop
+        end
+        begin
+            push.5000000042 call.lowbits push.3 u32wrapping_add swap drop
+        end
+        """,
+        [],
+        None,
+    ),
+    "memory": (
+        """
+        begin
+            push.42 mem_store.100 push.7 mem_store.104
+            mem_load.100 mem_load.104 u32assert2 u32wrapping_add swap drop
+        end
+        """,
+        [],
+        None,
+    ),
+    "u32_mix": (
+        """
+        begin
+            push.100000 push.200000 u32assert2
+            u32overflowing_add drop
+            push.7 u32wrapping_mul
+            push.13 u32divmod drop
+            swap drop swap drop
+        end
+        """,
+        [],
+        None,
+    ),
+    "stackops": (
+        """
+        begin
+            push.1 push.2 push.3 push.4
+            swapw dupw.1 dropw movup.5 movdn.3
+            push.1 cswap
+            dropw drop drop drop
+        end
+        """,
+        [9, 8, 7],
+        None,
+    ),
+    "respan": (
+        "begin "
+        + " ".join(f"push.{i} drop" for i in range(20))
+        + " push.9 swap drop end",
+        [],
+        None,
+    ),
+    "ext2": (
+        "begin push.3 push.4 push.5 push.6 ext2mul drop drop drop drop end",
+        [],
+        None,
+    ),
+    "advice": (
+        "begin adv_push.2 u32assert2 u32overflowing_sub drop drop end",
+        [],
+        AdviceProvider(stack=[9, 5]),
+    ),
+}
+
+
+def test_constraint_degree():
+    assert CoreVmAir().constraint_degree() == 9
+
+
+@pytest.mark.parametrize("name", sorted(PROGRAMS))
+def test_real_traces_satisfy_air(name):
+    src, inputs, advice = PROGRAMS[name]
+    _, trace = execute_and_trace(assemble(src), inputs, advice=advice)
+    violations = check_core_trace(trace)
+    assert not violations, violations[:10]
+
+
+CORRUPTIONS = [
+    ("stack", 3, L.STACK_TOP[0]),
+    ("opbit", 2, L.OP_BITS[3]),
+    ("clk", 5, L.CLK),
+    ("gc", 2, L.GROUP_COUNT),
+    ("rcv", 10, L.RC_VALUE),
+    ("b0", 4, L.B0),
+    ("h0", 2, L.HASHER[0]),
+    ("in_span", 3, L.IN_SPAN),
+    ("op_index", 3, L.OP_INDEX),
+    ("ctx", 6, L.CTX),
+    ("addr", 2, L.ADDR),
+]
+
+
+@pytest.mark.parametrize("label,row,col", CORRUPTIONS, ids=[c[0] for c in CORRUPTIONS])
+def test_corruptions_caught(label, row, col):
+    _, trace = execute_and_trace(
+        assemble("begin push.5 push.6 add swap drop end"), []
+    )
+    m = trace.matrix.copy()
+    m[row, col] = (int(m[row, col]) + 1) % gl.P
+    bad = dataclasses.replace(trace, matrix=m)
+    assert check_core_trace(bad, max_violations=3), f"corrupt {label} missed"
+
+
+def test_forged_output_caught():
+    # claiming the wrong output in the public values must fail
+    _, trace = execute_and_trace(
+        assemble("begin push.5 push.6 add swap drop end"), []
+    )
+    from miden_tpu.stark.debug import check_air
+    import numpy as np
+
+    publics = (
+        list(trace.stack_inputs)
+        + [999] + list(trace.stack_outputs[1:])
+        + list(trace.program_hash)
+    )
+    v = check_air(CoreVmAir(), np.asarray(trace.matrix), publics=publics)
+    assert v
