@@ -1,0 +1,204 @@
+"""LogUp buses for the core VM AIR: the decoder's virtual tables, the
+stack overflow table, and the range-checker bus.
+
+Structure follows the reference's LogUp layout (air/src/lookup/
+constraint.rs): aux column 0 is the running-sum accumulator, columns 1+
+hold per-row fraction values (Nᵢ/Dᵢ); constraints check
+``Dᵢ·auxᵢ − Nᵢ = 0`` per fraction column and
+``acc' = acc + Σᵢ auxᵢ`` for the accumulator. Mutually exclusive
+interaction sets share a column through flag-muxed (V, U) pairs, keeping
+the constraint degree ≤ 9.
+
+Message encoding: ``D = α + (bus+1)·β^W + Σ β^k·elem_k`` with W = 16
+(bus_prefix convention of air/src/trace/mod.rs `bus_message`).
+
+Tables (docs/src/design/decoder/constraints.md, stack/index.md,
+range.md):
+  - block stack  (blk, prnt, is_loop, ctx, b0, b1, fn_hash[4])
+  - block hash   (parent, hash[4], is_first_child, is_loop_body)
+    — seeded with (0, program_hash, 0, 0) via the first-row accumulator
+  - op group     (batch_id, group_pos, group_value)
+  - overflow     (addr, value, prev_addr)
+  - range        (value), multiplicity-weighted responses
+"""
+
+from __future__ import annotations
+
+from .. import layout as L
+
+W = 16  # message width bound: bus_prefix[i] = α + (i+1)·β^W
+
+BUS_BLOCK_STACK = 0
+BUS_BLOCK_HASH = 1
+BUS_OP_GROUP = 2
+BUS_OVERFLOW = 3
+BUS_RANGE = 4
+# reserved for the chiplet AIRs:
+BUS_CHIPLET = 5
+BUS_KERNEL = 6
+
+NUM_FRACTION_COLUMNS = 4  # block_stack | block_hash+op_group | overflow | range
+AUX_WIDTH = 1 + NUM_FRACTION_COLUMNS
+
+
+class Challenges:
+    """β-power and bus-prefix tables over Folder expressions."""
+
+    def __init__(self, f):
+        alpha = f.rand(0)
+        beta = f.rand(1)
+        pows = [f.const(1), beta]
+        for _ in range(W - 1):
+            pows.append(pows[-1] * beta)
+        self.beta = pows  # β^0 .. β^W
+        self.alpha = alpha
+
+    def msg(self, bus: int, elems):
+        d = self.alpha + self.beta[W] * (bus + 1)
+        for k, e in enumerate(elems):
+            if isinstance(e, int) and e == 0:
+                continue
+            d = d + self.beta[k] * e
+        return d
+
+
+def _batch(one, fracs):
+    """Sum of fractions m/d as a (V, U) pair (no gating)."""
+    V, U = one * 0, one
+    for m, d in fracs:
+        V = V * d + U * m
+        U = U * d
+    return V, U
+
+
+def mux(one, branches):
+    """Combine mutually exclusive flag-gated fraction batches into a single
+    (V, U) pair: U = Σ φᵢ·Ubᵢ + (1 − Σφᵢ), V = Σ φᵢ·Vbᵢ."""
+    V = one * 0
+    U = one
+    for flag, fracs in branches:
+        Vb, Ub = _batch(one, fracs)
+        V = V + flag * Vb
+        U = U + flag * (Ub - 1)
+    return V, U
+
+
+def seq(a, b):
+    """Sequential composition of two (V, U) fraction sums."""
+    Va, Ua = a
+    Vb, Ub = b
+    return Va * Ub + Vb * Ua, Ua * Ub
+
+
+def core_bus_columns(f, fl):
+    """(V, U) pairs for the 4 core fraction columns; shared by the
+    constraint path (any backend) and the numeric aux builder."""
+    ch = Challenges(f)
+    flg = fl.flags
+    one = f.const(1)
+
+    s = [f.main(c) for c in L.STACK_TOP]
+    t = [f.main(c, 1) for c in L.STACK_TOP]
+    h = [f.main(c) for c in L.HASHER]
+    hn = [f.main(c, 1) for c in L.HASHER]
+    a = f.main(L.ADDR)
+    an = f.main(L.ADDR, 1)
+    sp = f.main(L.IN_SPAN)
+    gc = f.main(L.GROUP_COUNT)
+    gcn = f.main(L.GROUP_COUNT, 1)
+    clk = f.main(L.CLK)
+    ctx = f.main(L.CTX)
+    ctxn = f.main(L.CTX, 1)
+    fn = [f.main(c) for c in L.FN_HASH]
+    fnn = [f.main(c, 1) for c in L.FN_HASH]
+    b0 = f.main(L.B0)
+    b0n = f.main(L.B0, 1)
+    b1 = f.main(L.B1)
+    b1n = f.main(L.B1, 1)
+    sh0 = f.main(L.H0)
+
+    # ---- column 1: block stack table ----------------------------------
+    h6_or_h7 = h[6] + h[7]
+    end_elems = [
+        a, an, h[5],
+        h6_or_h7 * ctxn, h6_or_h7 * b0n, h6_or_h7 * b1n,
+        *[h6_or_h7 * fnn[i] for i in range(4)],
+    ]
+    block_stack = mux(one, [
+        (flg["JOIN"] + flg["SPLIT"] + flg["SPAN"],
+         [(1, ch.msg(BUS_BLOCK_STACK, [an, a]))]),
+        (flg["LOOP"], [(1, ch.msg(BUS_BLOCK_STACK, [an, a, 1]))]),
+        (flg["RESPAN"], [
+            (-1, ch.msg(BUS_BLOCK_STACK, [a, hn[1]])),
+            (1, ch.msg(BUS_BLOCK_STACK, [an, hn[1]])),
+        ]),
+        (flg["DYN"], [(1, ch.msg(BUS_BLOCK_STACK, [an, a]))]),
+        (flg["DYNCALL"], [(1, ch.msg(
+            BUS_BLOCK_STACK, [an, a, 0, ctx, h[4], h[5], *fn]))]),
+        (flg["CALL"] + flg["SYSCALL"], [(1, ch.msg(
+            BUS_BLOCK_STACK, [an, a, 0, ctx, b0, b1, *fn]))]),
+        (flg["END"], [(-1, ch.msg(BUS_BLOCK_STACK, end_elems))]),
+    ])
+
+    # ---- column 2: block hash table + op group table ------------------
+    # disjoint row sets: control-flow opcodes vs SPAN/RESPAN/in-span rows
+    is_first = 1 - fl.next_ctrl["ANY"]  # next op not END/REPEAT/RESPAN/HALT
+    split_child = [s[0] * h[i] + (1 - s[0]) * h[i + 4] for i in range(4)]
+    c0 = f.main(L.BATCH_FLAGS[0])
+    c1 = f.main(L.BATCH_FLAGS[1])
+    c2 = f.main(L.BATCH_FLAGS[2])
+    fg8 = c0
+    fg4 = (1 - c0) * c1 * (1 - c2)
+    fg2 = (1 - c0) * (1 - c1) * c2
+    op_next = sum(
+        (f.main(L.OP_BITS[i], 1) * (1 << i) for i in range(1, 7)),
+        f.main(L.OP_BITS[0], 1),
+    )
+    group_removed = hn[0] * 128 + op_next + fl.imm * (t[0] - (hn[0] * 128 + op_next))
+    f_dg = sp * (gc - gcn)
+    block_hash_op_group = mux(one, [
+        (flg["JOIN"], [
+            (1, ch.msg(BUS_BLOCK_HASH, [an, h[0], h[1], h[2], h[3], 1, 0])),
+            (1, ch.msg(BUS_BLOCK_HASH, [an, h[4], h[5], h[6], h[7], 0, 0])),
+        ]),
+        (flg["SPLIT"], [(1, ch.msg(BUS_BLOCK_HASH, [an, *split_child, 0, 0]))]),
+        (flg["LOOP"] + flg["REPEAT"],
+         [(1, ch.msg(BUS_BLOCK_HASH, [an, h[0], h[1], h[2], h[3], 0, 1]))]),
+        (flg["DYN"] + flg["DYNCALL"] + flg["CALL"] + flg["SYSCALL"],
+         [(1, ch.msg(BUS_BLOCK_HASH, [an, h[0], h[1], h[2], h[3], 0, 0]))]),
+        (flg["END"], [(-1, ch.msg(
+            BUS_BLOCK_HASH, [an, h[0], h[1], h[2], h[3], is_first, h[4]]))]),
+        (fg8, [(1, ch.msg(BUS_OP_GROUP, [an, gc - i, h[i]])) for i in range(1, 8)]),
+        (fg4, [(1, ch.msg(BUS_OP_GROUP, [an, gc - i, h[i]])) for i in range(1, 4)]),
+        (fg2, [(1, ch.msg(BUS_OP_GROUP, [an, gc - 1, h[1]]))]),
+        (f_dg, [(-1, ch.msg(BUS_OP_GROUP, [a, gc, group_removed]))]),
+    ])
+
+    # ---- column 3: stack overflow table -------------------------------
+    f_ov = (b0 - 16) * sh0
+    overflow = mux(one, [
+        (fl.shift_right, [(1, ch.msg(BUS_OVERFLOW, [clk, s[15], b1]))]),
+        (fl.shift_left * f_ov, [(-1, ch.msg(BUS_OVERFLOW, [b1, t[15], b1n]))]),
+        (flg["DYNCALL"] * f_ov, [(-1, ch.msg(BUS_OVERFLOW, [b1, t[15], h[5]]))]),
+    ])
+
+    # ---- column 4: range checker bus ----------------------------------
+    uh = [f.main(c) for c in L.USER_OP_HELPERS]
+    response = (
+        f.main(L.RC_MULT),
+        ch.msg(BUS_RANGE, [f.main(L.RC_VALUE)]),
+    )
+    requests = mux(one, [
+        (fl.u32_rc, [(-1, ch.msg(BUS_RANGE, [uh[i]])) for i in range(4)]),
+    ])
+    range_col = seq(_batch(one, [response]), requests)
+
+    return [block_stack, block_hash_op_group, overflow, range_col], ch
+
+
+def seed_denominator(f):
+    """Block-hash-table seed row (0, program_hash, 0, 0): the accumulator
+    starts at 1/d_seed so a balanced execution ends at 0."""
+    ch = Challenges(f)
+    ph = [f.public(32 + i) for i in range(4)]
+    return ch.msg(BUS_BLOCK_HASH, [0, *ph, 0, 0])

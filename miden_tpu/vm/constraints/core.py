@@ -272,11 +272,12 @@ STACK_SPEC: dict = {
 
 
 class CoreVmAir(Air):
-    """The Miden core AIR (system + decoder + stack + range, 51 columns)."""
+    """The Miden core AIR (system + decoder + stack + range, 51 columns,
+    5 LogUp aux columns: accumulator + 4 fraction columns)."""
 
     width = L.CORE_WIDTH
-    aux_width = 0
-    num_randomness = 0
+    aux_width = 5
+    num_randomness = 2
     num_aux_values = 0
     num_public_values = 36  # stack_in(16) | stack_out(16) | program_hash(4)
 
@@ -489,6 +490,9 @@ class CoreVmAir(Air):
         )
         f.assert_transition(f_shr * (b1n - clk), "overflow/push_addr")
         f.assert_transition(f_shl * (1 - f_ov) * t[15], "stack/shift_in_zero")
+        f.assert_transition(
+            flg["DYNCALL"] * (1 - f_ov) * t[15], "stack/dyncall_shift_in_zero"
+        )
         f.assert_transition(fl.call_entry * b1n, "overflow/call_reset")
 
         # ---- range checker -------------------------------------------------
@@ -515,6 +519,79 @@ class CoreVmAir(Air):
                 h[i] - f.public(32 + i), f"boundary/program_hash{i}"
             )
 
+        # ---- LogUp buses ---------------------------------------------------
+        from .buses import core_bus_columns, seed_denominator
+
+        cols, _ = core_bus_columns(f, fl)
+        acc = f.aux(0)
+        accn = f.aux(0, 1)
+        total = acc
+        for i, (V, U) in enumerate(cols):
+            av = f.aux(1 + i)
+            f.assert_transition(U * av - V, f"bus/col{i}")
+            total = total + av
+        f.assert_transition(accn - total, "bus/acc")
+        # seed = block-hash-table init row (0, program_hash, 0, 0): the
+        # accumulator starts at 1/d_seed and a balanced run ends at 0
+        f.assert_zero_first_row(acc * seed_denominator(f) - 1, "bus/seed")
+        f.assert_zero_last_row(acc, "bus/final")
+
+
+    def build_aux_trace(self, main, publics, aux_inputs, randomness):
+        """Numeric LogUp aux columns: evaluates the exact same fraction
+        specs as the constraints (buses.core_bus_columns) with scalar
+        arithmetic per row, then prefix-sums the accumulator from the
+        block-hash seed. Returns ((n, 5, 2) u64, [])."""
+        from ...field import gl
+        from ...stark.air import Expr, Folder, ScalarBackend
+        from .buses import core_bus_columns, seed_denominator
+        from .op_flags import OpFlags
+
+        n = main.shape[0]
+        be = ScalarBackend()
+
+        def base(v):
+            return Expr(be, "base", int(v) % gl.P)
+
+        def ext(pair):
+            return Expr(be, "ext", (int(pair[0]) % gl.P, int(pair[1]) % gl.P))
+
+        pubs = [base(v) for v in publics]
+        rands = [ext(r) for r in randomness]
+
+        def as_ext(val):
+            return val if isinstance(val, tuple) else (val % gl.P, 0)
+
+        fracs = np.zeros((n, 4, 2), dtype=np.uint64)
+        for r in range(n - 1):
+            rn = r + 1
+
+            def main_fn(c, o=0, r=r, rn=rn):
+                return base(main[rn if o else r, c])
+
+            f = Folder(
+                be, main_fn=main_fn, publics=pubs, randomness=rands,
+                selectors=(base(0), base(0), base(1)),
+            )
+            cols, _ = core_bus_columns(f, OpFlags(f))
+            for i, (V, U) in enumerate(cols):
+                v = as_ext(V.val)
+                u = as_ext(U.val)
+                fracs[r, i] = gl.ext_mul(v, gl.ext_inv(u))
+
+        aux = np.zeros((n, 5, 2), dtype=np.uint64)
+        f0 = Folder(
+            be, main_fn=lambda c, o=0: base(main[o, c]), publics=pubs,
+            randomness=rands, selectors=(base(1), base(0), base(1)),
+        )
+        acc = gl.ext_inv(as_ext(seed_denominator(f0).val))
+        for r in range(n):
+            aux[r, 0] = acc
+            aux[r, 1:5] = fracs[r]
+            for i in range(4):
+                acc = gl.ext_add(acc, (int(fracs[r, i, 0]), int(fracs[r, i, 1])))
+        return aux, []
+
 
 def check_core_trace(trace, max_violations: int = 20):
     """Debug-check a CoreTrace against CoreVmAir (exact scalar arithmetic)."""
@@ -525,9 +602,17 @@ def check_core_trace(trace, max_violations: int = 20):
         + list(trace.stack_outputs)
         + list(trace.program_hash)
     )
+    air = CoreVmAir()
+    main = np.asarray(trace.matrix, dtype=np.uint64)
+    # fixed nontrivial pseudo-randomness: exercises the LogUp buses with
+    # the same aux builder the prover uses
+    randomness = [(0x1234_5678_9ABC_DEF0, 0x0FED_CBA9_8765_4321), (12345, 67890)]
+    aux, _ = air.build_aux_trace(main, publics, [], randomness)
     return check_air(
-        CoreVmAir(),
-        np.asarray(trace.matrix, dtype=np.uint64),
+        air,
+        main,
+        aux=aux,
         publics=publics,
+        randomness=randomness,
         max_violations=max_violations,
     )

@@ -323,7 +323,9 @@ class TraceBuilder:
                 )
         rc_rows = _range_checker_rows(requests)
 
-        target = max(n_real + 1, L.MIN_TRACE_LEN, len(rc_rows))
+        # +1 rows: at least one HALT row, and the last row must carry no
+        # LogUp interactions (its fractions never enter the accumulator)
+        target = max(n_real + 1, L.MIN_TRACE_LEN, len(rc_rows) + 1)
         n = 1 << (target - 1).bit_length()
 
         # HALT padding: program hash carried in h0..h3, stack copied forward,

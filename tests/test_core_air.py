@@ -144,13 +144,49 @@ def test_forged_output_caught():
     _, trace = execute_and_trace(
         assemble("begin push.5 push.6 add swap drop end"), []
     )
-    from miden_tpu.stark.debug import check_air
+    bad = dataclasses.replace(
+        trace, stack_outputs=[999] + list(trace.stack_outputs[1:])
+    )
+    assert check_core_trace(bad, max_violations=3)
+
+
+def test_forged_program_hash_caught():
+    # the block-hash-table seed binds execution to the claimed program hash
+    _, trace = execute_and_trace(
+        assemble("begin push.5 push.6 add swap drop end"), []
+    )
+    ph = list(trace.program_hash)
+    ph[0] = (ph[0] + 1) % gl.P
+    bad = dataclasses.replace(trace, program_hash=tuple(ph))
+    violations = check_core_trace(bad, max_violations=50)
+    assert any("bus" in v.label for v in violations), violations
+
+
+def test_tampered_join_digest_breaks_block_hash_bus():
+    import numpy as np
+    from miden_tpu.vm.ops import OPCODES
+
+    src = "begin push.1 if.true push.2 drop else push.3 drop end drop end"
+    _, trace = execute_and_trace(assemble(src), [])
+    ops = sum(
+        trace.matrix[:, L.OP_BITS[i]].astype(np.int64) << i for i in range(7)
+    )
+    join = int(np.flatnonzero(ops == OPCODES["JOIN"])[0])
+    m = trace.matrix.copy()
+    m[join, L.HASHER[2]] += 1
+    v = check_core_trace(dataclasses.replace(trace, matrix=m), max_violations=5)
+    assert any("bus" in x.label for x in v), v
+
+
+def test_tampered_overflow_value_caught():
     import numpy as np
 
-    publics = (
-        list(trace.stack_inputs)
-        + [999] + list(trace.stack_outputs[1:])
-        + list(trace.program_hash)
+    _, t = execute_and_trace(
+        assemble("begin push.1 push.2 push.3 drop drop drop end"),
+        list(range(1, 17)),
     )
-    v = check_air(CoreVmAir(), np.asarray(trace.matrix), publics=publics)
-    assert v
+    m = t.matrix.copy()
+    deep = int(np.flatnonzero(m[:, L.B0] > 17)[0])
+    m[deep, L.STACK_TOP[15]] += 1
+    v = check_core_trace(dataclasses.replace(t, matrix=m), max_violations=5)
+    assert any("bus" in x.label or "stack" in x.label for x in v), v
