@@ -284,6 +284,33 @@ def fp_square(a: Fp) -> Fp:
     return fp_mul(a, a)
 
 
+def fp_mul_2exp(a: Fp, k: int) -> Fp:
+    """Multiply by 2^k (k ≥ 0) via limb shifts + the 2^64 ≡ 2^32 − 1 fold —
+    ~10 primitive ops instead of a full 4-product multiplication. Used for
+    the constraint system's power-of-two weights (op-group radix 2^7,
+    16-bit limb combos)."""
+    zero = jnp.zeros_like(a.lo)
+    while k >= 32:
+        # value·2^32 = lo·2^32 + hi·2^64 ≡ (0, lo) + hi·(2^32 − 1)
+        t1lo, t1hi, _ = _sub64(zero, a.hi, a.hi, zero)
+        lo, hi, c = _add64(zero, a.lo, t1lo, t1hi)
+        eps = c * _EPS
+        lo, hi, _ = _add64(lo, hi, eps, zero)
+        a = Fp(*_canonicalize(lo, hi))
+        k -= 32
+    if k == 0:
+        return a
+    ovf = a.hi >> (32 - k)  # < 2^k
+    hi2 = (a.hi << k) | (a.lo >> (32 - k))
+    lo2 = a.lo << k
+    # + ovf·(2^32 − 1) = (ovf << 32) − ovf
+    t1lo, t1hi, _ = _sub64(zero, ovf, ovf, zero)
+    lo3, hi3, c = _add64(lo2, hi2, t1lo, t1hi)
+    eps = c * _EPS
+    lo3, hi3, _ = _add64(lo3, hi3, eps, zero)
+    return Fp(*_canonicalize(lo3, hi3))
+
+
 def fp_mul_small(a: Fp, k: int) -> Fp:
     """Multiply by a small non-negative integer constant via shift-and-add."""
     assert 0 <= k

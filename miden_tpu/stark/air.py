@@ -49,9 +49,34 @@ class VectorBackend:
 
     def __init__(self, shape):
         self.shape = shape
+        self._const_cache: dict = {}
 
     def const(self, c: int):
-        return fp_broadcast_to(fp_const(c % gl.P), self.shape)
+        # memoized, scalar-shaped (broadcasting is implicit in ops): keeps
+        # the lowered graph free of per-use constant/broadcast storms
+        c %= gl.P
+        v = self._const_cache.get(c)
+        if v is None:
+            v = fp_const(c)
+            self._const_cache[c] = v
+        return v
+
+    def mul_int(self, v, c: int, kind: str):
+        """Multiply by an integer constant; powers of two lower to limb
+        shifts (fp_mul_2exp) instead of full 4-product multiplies."""
+        from ..field.goldilocks import fp_mul_2exp
+
+        c %= gl.P
+        if c == 0:
+            return self.mul(v, self.const(0), kind, "base")
+        if c == 1:
+            return v
+        if c & (c - 1) == 0:
+            k = c.bit_length() - 1
+            if kind == "base":
+                return fp_mul_2exp(v, k)
+            return Fp2(fp_mul_2exp(v.c0, k), fp_mul_2exp(v.c1, k))
+        return self.mul(v, self.const(c), kind, "base")
 
     def add(self, a, b, ka, kb):
         if ka == "base" and kb == "base":
@@ -95,6 +120,16 @@ class ScalarBackend:
 
     def const(self, c: int):
         return c % gl.P
+
+    def mul_int(self, v, c: int, kind: str):
+        c %= gl.P
+        if kind == "base":
+            if isinstance(v, list):
+                return [gl.mul(x, c) for x in v]
+            return gl.mul(v, c)
+        if isinstance(v, list):
+            return [gl.ext_mul_base(x, c) for x in v]
+        return gl.ext_mul_base(v, c)
 
     def _zip(self, a, b, f):
         if isinstance(a, list) or isinstance(b, list):
@@ -145,6 +180,9 @@ class DegreeBackend:
     def const(self, c: int):
         return 0
 
+    def mul_int(self, v, c: int, kind: str):
+        return v
+
     def add(self, a, b, ka, kb):
         return max(a, b)
 
@@ -194,6 +232,12 @@ class Expr:
         return self._coerce(other).__sub__(self)
 
     def __mul__(self, other):
+        if isinstance(other, int) and hasattr(self.backend, "mul_int"):
+            return Expr(
+                self.backend,
+                self.kind,
+                self.backend.mul_int(self.val, other, self.kind),
+            )
         return self._bin(other, self.backend.mul)
 
     __rmul__ = __mul__
@@ -450,6 +494,56 @@ class Folder:
             self.acc = folded_e
         else:
             self.acc = self.acc * alpha_g + folded_e
+
+    def stack(self, exprs) -> Expr:
+        """Stack a list of same-kind Exprs into one family Expr with a
+        leading group axis, for use with ``assert_*_many``. Keeps the
+        compiled constraint program size O(1) in the family size — the
+        graph-size analog of the reference's batched linear combinations
+        (prover/constraints/folder.rs:85-101)."""
+        exprs = list(exprs)
+        kind = "ext" if any(e.kind == "ext" for e in exprs) else "base"
+        if isinstance(self.backend, DegreeBackend):
+            return Expr(self.backend, "base", max(e.val for e in exprs))
+        if isinstance(self.backend, ScalarBackend):
+            vals = [
+                e.val if e.kind == kind else (e.val, 0) if kind == "ext" else e.val
+                for e in exprs
+            ]
+            return Expr(self.backend, kind, vals)
+        import jax.numpy as _jnp
+
+        from ..field.goldilocks import Fp as _Fp, Fp2 as _Fp2, fp_broadcast_to
+
+        shape = self.backend.shape
+
+        def to_fp2(e):
+            if e.kind == "ext":
+                return e.val
+            zero = fp_broadcast_to(Fp(_jnp.uint32(0), _jnp.uint32(0)), shape)
+            return _Fp2(fp_broadcast_to(e.val, shape), zero)
+
+        if kind == "base":
+            vals = [fp_broadcast_to(e.val, shape) for e in exprs]
+            return Expr(
+                self.backend,
+                "base",
+                _Fp(
+                    _jnp.stack([v.lo for v in vals]),
+                    _jnp.stack([v.hi for v in vals]),
+                ),
+            )
+        vals = [to_fp2(e) for e in exprs]
+
+        def stk(sel):
+            return _Fp(
+                _jnp.stack([sel(v).lo for v in vals]),
+                _jnp.stack([sel(v).hi for v in vals]),
+            )
+
+        return Expr(
+            self.backend, "ext", _Fp2(stk(lambda v: v.c0), stk(lambda v: v.c1))
+        )
 
     def assert_zero_many(self, e: Expr, label: str | None = None) -> None:
         self._tag(label)

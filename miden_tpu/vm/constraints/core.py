@@ -286,17 +286,26 @@ class CoreVmAir(Air):
         flg = fl.flags
         b = fl.bits
 
+        # Constraints are collected per selector kind and folded as four
+        # stacked families — one α-fold each — so the compiled constraint
+        # program size stays O(families), not O(constraints)
+        # (the graph-size analog of folder.rs batched combinations).
+        fam = {"zero": [], "trans": [], "first": [], "last": []}
+
+        def A(kind, e, label):
+            fam[kind].append((e, label))
+
         # ---- op bit / extra column well-formedness ------------------------
         for i in range(7):
-            f.assert_zero(b[i] * b[i] - b[i], f"opbit{i}/binary")
-        f.assert_zero(fl.e0 - b[6] * (1 - b[5]) * b[4], "extra0")
-        f.assert_zero(fl.e1 - b[6] * b[5], "extra1")
-        f.assert_zero(fl.u32_rc * b[0], "prefix100/b0")
-        f.assert_zero(fl.e1 * b[0], "prefix11/b0")
-        f.assert_zero(fl.e1 * b[1], "prefix11/b1")
+            A("zero", b[i] * b[i] - b[i], f"opbit{i}/binary")
+        A("zero", fl.e0 - b[6] * (1 - b[5]) * b[4], "extra0")
+        A("zero", fl.e1 - b[6] * b[5], "extra1")
+        A("zero", fl.u32_rc * b[0], "prefix100/b0")
+        A("zero", fl.e1 * b[0], "prefix11/b0")
+        A("zero", fl.e1 * b[1], "prefix11/b1")
 
         for name in FORBIDDEN_OPS:
-            f.assert_zero(flg[name], f"forbidden/{name.lower()}")
+            A("zero", flg[name], f"forbidden/{name.lower()}")
         # unused opcode slots in the degree-7/5 groups
         for code in (6, 47):
             lo = code & 0xF
@@ -308,11 +317,11 @@ class CoreVmAir(Air):
             )
             for k in range(4):
                 flag = flag * (b[k] if (lo >> k) & 1 else 1 - b[k])
-            f.assert_zero(flag, f"forbidden/op{code}")
+            A("zero", flag, f"forbidden/op{code}")
         e0f = fl.e0
         for k in range(4):
             e0f = e0f * (b[k] if (15 >> k) & 1 else 1 - b[k])
-        f.assert_zero(e0f, "forbidden/op95")
+        A("zero", e0f, "forbidden/op95")
 
         # ---- decoder: general ---------------------------------------------
         s = [f.main(c) for c in L.STACK_TOP]
@@ -329,38 +338,38 @@ class CoreVmAir(Air):
         oxn = f.main(L.OP_INDEX, 1)
         clk = f.main(L.CLK)
 
-        f.assert_zero(flg["SPLIT"] * (s[0] * s[0] - s[0]), "split/binary")
+        A("zero", flg["SPLIT"] * (s[0] * s[0] - s[0]), "split/binary")
         for i in range(4, 8):
-            f.assert_zero(flg["DYN"] * h[i], f"dyn/h{i}")
-        f.assert_zero(flg["REPEAT"] * (1 - s[0]), "repeat/s0")
-        f.assert_zero(flg["REPEAT"] * (1 - h[4]), "repeat/in_loop")
-        f.assert_transition(flg["RESPAN"] * (an - a - 2), "respan/addr")
-        f.assert_zero(flg["END"] * h[5] * s[0], "end/loop_cond")
+            A("zero", flg["DYN"] * h[i], f"dyn/h{i}")
+        A("zero", flg["REPEAT"] * (1 - s[0]), "repeat/s0")
+        A("zero", flg["REPEAT"] * (1 - h[4]), "repeat/in_loop")
+        A("trans", flg["RESPAN"] * (an - a - 2), "respan/addr")
+        A("zero", flg["END"] * h[5] * s[0], "end/loop_cond")
         for i in range(5):
-            f.assert_transition(
+            A("trans", 
                 flg["END"] * fl.next_ctrl["REPEAT"] * (hn[i] - h[i]),
                 f"end_repeat/h{i}",
             )
         halt_next = fl.next_ctrl["HALT"]
-        f.assert_transition(flg["HALT"] * (1 - halt_next), "halt/chain")
-        f.assert_zero(flg["HALT"] * a, "halt/addr")
+        A("trans", flg["HALT"] * (1 - halt_next), "halt/chain")
+        A("zero", flg["HALT"] * a, "halt/addr")
         for i in range(4):
-            f.assert_transition(flg["HALT"] * (hn[i] - h[i]), f"halt/h{i}")
-        f.assert_zero(1 - sp - fl.control_flow, "in_span/ctrl")
-        f.assert_zero_first_row(sp, "first/in_span")
+            A("trans", flg["HALT"] * (hn[i] - h[i]), f"halt/h{i}")
+        A("zero", 1 - sp - fl.control_flow, "in_span/ctrl")
+        A("first", sp, "first/in_span")
         span_or_respan = flg["SPAN"] + flg["RESPAN"]
-        f.assert_transition(span_or_respan * (1 - spn), "span/next_sp")
-        f.assert_transition(sp * (an - a), "span/addr_copy")
+        A("trans", span_or_respan * (1 - spn), "span/next_sp")
+        A("trans", sp * (an - a), "span/addr_copy")
 
         # ---- decoder: group count -----------------------------------------
         dgc = gc - gcn
         imm = fl.imm
-        f.assert_transition(sp * dgc * (dgc - 1), "gc/delta")
-        f.assert_transition(sp * dgc * (1 - imm) * h[0], "gc/group_done")
-        f.assert_transition((span_or_respan + imm) * (dgc - 1), "gc/decrement")
+        A("trans", sp * dgc * (dgc - 1), "gc/delta")
+        A("trans", sp * dgc * (1 - imm) * h[0], "gc/group_done")
+        A("trans", (span_or_respan + imm) * (dgc - 1), "gc/decrement")
         end_or_respan_next = fl.next_ctrl["END"] + fl.next_ctrl["RESPAN"]
-        f.assert_transition(dgc * end_or_respan_next, "gc/freeze")
-        f.assert_zero(flg["END"] * gc, "end/gc")
+        A("trans", dgc * end_or_respan_next, "gc/freeze")
+        A("zero", flg["END"] * gc, "end/gc")
 
         # ---- decoder: op group decoding -----------------------------------
         op_next = sum(
@@ -368,61 +377,61 @@ class CoreVmAir(Air):
             f.main(L.OP_BITS[0], 1),
         )
         f_sgc = sp * spn * (1 - dgc)
-        f.assert_transition(
+        A("trans", 
             (span_or_respan + imm + f_sgc) * (h[0] - hn[0] * 128 - op_next),
             "opgroup/decode",
         )
-        f.assert_transition(sp * end_or_respan_next * h[0], "opgroup/exhausted")
+        A("trans", sp * end_or_respan_next * h[0], "opgroup/exhausted")
 
         # ---- decoder: op index --------------------------------------------
         ng = dgc - imm
-        f.assert_transition(span_or_respan * oxn, "opindex/reset_span")
-        f.assert_transition(sp * ng * oxn, "opindex/reset_group")
+        A("trans", span_or_respan * oxn, "opindex/reset_span")
+        A("trans", sp * ng * oxn, "opindex/reset_group")
         dox = oxn - ox
-        f.assert_transition(sp * spn * (1 - ng) * (dox - 1), "opindex/incr")
+        A("trans", sp * spn * (1 - ng) * (dox - 1), "opindex/incr")
         prod = ox
         for i in range(1, 9):
             prod = prod * (ox - i)
-        f.assert_zero(prod, "opindex/range")
+        A("zero", prod, "opindex/range")
 
         # ---- decoder: batch flags -----------------------------------------
         c0 = f.main(L.BATCH_FLAGS[0])
         c1 = f.main(L.BATCH_FLAGS[1])
         c2 = f.main(L.BATCH_FLAGS[2])
         for i, c in enumerate((c0, c1, c2)):
-            f.assert_zero(c * c - c, f"batch{i}/binary")
+            A("zero", c * c - c, f"batch{i}/binary")
         fg8 = c0
         fg4 = (1 - c0) * c1 * (1 - c2)
         fg2 = (1 - c0) * (1 - c1) * c2
         fg1 = (1 - c0) * c1 * c2
-        f.assert_zero(span_or_respan - (fg1 + fg2 + fg4 + fg8), "batch/one_hot")
-        f.assert_zero((1 - span_or_respan) * (c0 + c1 + c2), "batch/off")
+        A("zero", span_or_respan - (fg1 + fg2 + fg4 + fg8), "batch/one_hot")
+        A("zero", (1 - span_or_respan) * (c0 + c1 + c2), "batch/off")
         for i in range(4, 8):
-            f.assert_zero((fg1 + fg2 + fg4) * h[i], f"batch/le4_h{i}")
+            A("zero", (fg1 + fg2 + fg4) * h[i], f"batch/le4_h{i}")
         for i in (2, 3):
-            f.assert_zero((fg1 + fg2) * h[i], f"batch/le2_h{i}")
-        f.assert_zero(fg1 * h[1], "batch/le1_h1")
+            A("zero", (fg1 + fg2) * h[i], f"batch/le2_h{i}")
+        A("zero", fg1 * h[1], "batch/le1_h1")
 
         # ---- system --------------------------------------------------------
         ctx = f.main(L.CTX)
         ctxn = f.main(L.CTX, 1)
         fn = [f.main(c) for c in L.FN_HASH]
         fnn = [f.main(c, 1) for c in L.FN_HASH]
-        f.assert_zero_first_row(clk, "first/clk")
-        f.assert_zero_first_row(ctx, "first/ctx")
+        A("first", clk, "first/clk")
+        A("first", ctx, "first/ctx")
         for i in range(4):
-            f.assert_zero_first_row(fn[i], f"first/fn{i}")
-        f.assert_transition(f.main(L.CLK, 1) - clk - 1, "clk/incr")
+            A("first", fn[i], f"first/fn{i}")
+        A("trans", f.main(L.CLK, 1) - clk - 1, "clk/incr")
         call_or_dyncall = flg["CALL"] + flg["DYNCALL"]
-        f.assert_transition(call_or_dyncall * (ctxn - clk - 1), "ctx/call")
-        f.assert_transition(flg["SYSCALL"] * ctxn, "ctx/syscall")
+        A("trans", call_or_dyncall * (ctxn - clk - 1), "ctx/call")
+        A("trans", flg["SYSCALL"] * ctxn, "ctx/syscall")
         end_call = flg["END"] * (h[6] + h[7])
-        f.assert_transition(
+        A("trans", 
             (1 - fl.call_entry - end_call) * (ctxn - ctx), "ctx/copy"
         )
         for i in range(4):
-            f.assert_transition(call_or_dyncall * (fnn[i] - h[i]), f"fn{i}/call")
-            f.assert_transition(
+            A("trans", call_or_dyncall * (fnn[i] - h[i]), f"fn{i}/call")
+            A("trans", 
                 (1 - call_or_dyncall - flg["END"] * h[6]) * (fnn[i] - fn[i]),
                 f"fn{i}/copy",
             )
@@ -455,7 +464,7 @@ class CoreVmAir(Air):
             fn_spec = spec.get("spec")
             if fn_spec is not None:
                 for expr, label in fn_spec(s, t, uh, env):
-                    f.assert_transition(flag * expr, f"{name.lower()}:{label}")
+                    A("trans", flag * expr, f"{name.lower()}:{label}")
         # END: no-shift unless ending a loop (left shift)
         end_no = flg["END"] * (1 - h[5])
         end_left = flg["END"] * h[5]
@@ -466,34 +475,34 @@ class CoreVmAir(Air):
 
         for d in range(16):
             if no_at[d] is not None:
-                f.assert_transition(no_at[d] * (t[d] - s[d]), f"stack/no_shift{d}")
+                A("trans", no_at[d] * (t[d] - s[d]), f"stack/no_shift{d}")
             if d >= 1 and left_at[d] is not None:
-                f.assert_transition(
+                A("trans", 
                     left_at[d] * (t[d - 1] - s[d]), f"stack/left{d}"
                 )
             if d < 15 and right_at[d] is not None:
-                f.assert_transition(
+                A("trans", 
                     right_at[d] * (t[d + 1] - s[d]), f"stack/right{d}"
                 )
 
         # ---- stack: depth / overflow bookkeeping --------------------------
         f_ov = (b0 - 16) * sh0
-        f.assert_zero((1 - f_ov) * (b0 - 16), "overflow/flag")
+        A("zero", (1 - f_ov) * (b0 - 16), "overflow/flag")
         f_shl = fl.shift_left
         f_shr = fl.shift_right
-        f.assert_transition(
+        A("trans", 
             (b0n - b0) * (1 - fl.call_entry - end_call)
             + f_shl * f_ov
             - f_shr
             + fl.call_entry * (b0n - 16),
             "stack/depth",
         )
-        f.assert_transition(f_shr * (b1n - clk), "overflow/push_addr")
-        f.assert_transition(f_shl * (1 - f_ov) * t[15], "stack/shift_in_zero")
-        f.assert_transition(
+        A("trans", f_shr * (b1n - clk), "overflow/push_addr")
+        A("trans", f_shl * (1 - f_ov) * t[15], "stack/shift_in_zero")
+        A("trans", 
             flg["DYNCALL"] * (1 - f_ov) * t[15], "stack/dyncall_shift_in_zero"
         )
-        f.assert_transition(fl.call_entry * b1n, "overflow/call_reset")
+        A("trans", fl.call_entry * b1n, "overflow/call_reset")
 
         # ---- range checker -------------------------------------------------
         rv = f.main(L.RC_VALUE)
@@ -502,20 +511,20 @@ class CoreVmAir(Air):
         steps = dv
         for k in range(8):
             steps = steps * (dv - 3**k)
-        f.assert_transition(steps, "range/steps")
-        f.assert_zero_first_row(rv, "range/first")
-        f.assert_zero_last_row(rv - 65535, "range/last")
+        A("trans", steps, "range/steps")
+        A("first", rv, "range/first")
+        A("last", rv - 65535, "range/last")
 
         # ---- boundaries ----------------------------------------------------
         for i in range(16):
-            f.assert_zero_first_row(s[i] - f.public(i), f"boundary/stack_in{i}")
-            f.assert_zero_last_row(s[i] - f.public(16 + i), f"boundary/stack_out{i}")
-        f.assert_zero_first_row(b0 - 16, "boundary/b0_first")
-        f.assert_zero_last_row(b0 - 16, "boundary/b0_last")
-        f.assert_zero_first_row(b1, "boundary/b1_first")
-        f.assert_zero_last_row(b1, "boundary/b1_last")
+            A("first", s[i] - f.public(i), f"boundary/stack_in{i}")
+            A("last", s[i] - f.public(16 + i), f"boundary/stack_out{i}")
+        A("first", b0 - 16, "boundary/b0_first")
+        A("last", b0 - 16, "boundary/b0_last")
+        A("first", b1, "boundary/b1_first")
+        A("last", b1, "boundary/b1_last")
         for i in range(4):
-            f.assert_zero_last_row(
+            A("last", 
                 h[i] - f.public(32 + i), f"boundary/program_hash{i}"
             )
 
@@ -528,13 +537,27 @@ class CoreVmAir(Air):
         total = acc
         for i, (V, U) in enumerate(cols):
             av = f.aux(1 + i)
-            f.assert_transition(U * av - V, f"bus/col{i}")
+            A("trans", U * av - V, f"bus/col{i}")
             total = total + av
-        f.assert_transition(accn - total, "bus/acc")
+        A("trans", accn - total, "bus/acc")
         # seed = block-hash-table init row (0, program_hash, 0, 0): the
         # accumulator starts at 1/d_seed and a balanced run ends at 0
-        f.assert_zero_first_row(acc * seed_denominator(f) - 1, "bus/seed")
-        f.assert_zero_last_row(acc, "bus/final")
+        A("first", acc * seed_denominator(f) - 1, "bus/seed")
+        A("last", acc, "bus/final")
+
+        # ---- flush: one stacked fold per selector kind ---------------------
+        self.label_order = []
+        sinks = (
+            ("zero", f.assert_zero_many),
+            ("trans", f.assert_transition_many),
+            ("first", f.assert_zero_first_row_many),
+            ("last", f.assert_zero_last_row_many),
+        )
+        for kind, sink in sinks:
+            items = fam[kind]
+            if items:
+                sink(f.stack([e for e, _ in items]), f"family/{kind}")
+                self.label_order.extend(label for _, label in items)
 
 
     def build_aux_trace(self, main, publics, aux_inputs, randomness):
@@ -608,7 +631,7 @@ def check_core_trace(trace, max_violations: int = 20):
     # the same aux builder the prover uses
     randomness = [(0x1234_5678_9ABC_DEF0, 0x0FED_CBA9_8765_4321), (12345, 67890)]
     aux, _ = air.build_aux_trace(main, publics, [], randomness)
-    return check_air(
+    violations = check_air(
         air,
         main,
         aux=aux,
@@ -616,3 +639,11 @@ def check_core_trace(trace, max_violations: int = 20):
         randomness=randomness,
         max_violations=max_violations,
     )
+    # constraints are emitted as stacked families; recover per-constraint
+    # labels from the emission order recorded by eval()
+    order = getattr(air, "label_order", None)
+    if order:
+        for v in violations:
+            if v.index < len(order):
+                v.label = order[v.index]
+    return violations

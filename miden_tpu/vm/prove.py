@@ -1,0 +1,85 @@
+"""VM proving facade: execute a Miden program and produce a STARK proof
+that the execution was correct.
+
+Mirrors the reference facades `prove_sync` (prover/src/lib.rs:117) and
+`Verifier::verify` (verifier/src/lib.rs:99): the host executes the MAST
+and builds the trace (the trace-generating oracle), then the TPU proving
+pipeline (LDE → LMCS commit → LogUp aux → constraint/quotient eval →
+DEEP → FRI) turns the matrices into a proof. The verifier needs only the
+program hash, the claimed stack inputs/outputs, and the proof.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..stark.params import MIDEN_PARAMS, PcsParams
+from ..stark.prover import Proof, Statement
+from ..stark.air import MultiAir
+from ..transcript.challenger import DuplexChallenger
+from . import layout as L
+from .constraints import CoreVmAir
+from .mast import Program
+from .processor import AdviceProvider, ExecutionOutput, StackInputs
+from .trace import execute_and_trace
+
+# Fiat–Shamir domain separator for the VM protocol (the analog of the
+# reference's RELATION_DIGEST seeding, air/src/config.rs:93): binds proofs
+# to this constraint system version.
+PROTOCOL_SEED = [0x6D69_6465, 0x6E2D_7470, 0x752D_766D, 0x0000_0001]
+
+
+@dataclass
+class VmProof:
+    """An execution proof: program hash + public stack values + STARK."""
+
+    program_hash: tuple
+    stack_inputs: list[int]  # padded to 16, top first
+    stack_outputs: list[int]  # 16 values, top first
+    stark: Proof
+
+
+def _statement(program_hash, stack_inputs, stack_outputs) -> Statement:
+    publics = list(stack_inputs) + list(stack_outputs) + list(program_hash)
+    assert len(publics) == 36
+    return Statement(MultiAir([CoreVmAir()]), publics)
+
+
+def prove_program(
+    program: Program,
+    stack_inputs: list[int] | StackInputs | None = None,
+    advice: AdviceProvider | None = None,
+    params: PcsParams = MIDEN_PARAMS,
+    **opts,
+) -> tuple[ExecutionOutput, VmProof]:
+    """Execute + prove (prover/src/lib.rs:117 prove_sync)."""
+    from ..stark.prover import prove
+
+    out, trace = execute_and_trace(program, stack_inputs, advice, **opts)
+    statement = _statement(
+        trace.program_hash, trace.stack_inputs, trace.stack_outputs
+    )
+    res = prove(
+        params, statement, [trace.matrix], DuplexChallenger(PROTOCOL_SEED)
+    )
+    return out, VmProof(
+        program_hash=trace.program_hash,
+        stack_inputs=list(trace.stack_inputs),
+        stack_outputs=list(trace.stack_outputs),
+        stark=res.proof,
+    )
+
+
+def verify_program(proof: VmProof, params: PcsParams = MIDEN_PARAMS) -> None:
+    """Verify an execution proof against its public claim
+    (verifier/src/lib.rs:99). Raises VerificationError on any failure."""
+    from ..stark.verifier import VerificationError, verify
+
+    if len(proof.stack_inputs) != L.MIN_STACK_DEPTH:
+        raise VerificationError("stack inputs must have 16 entries")
+    if len(proof.stack_outputs) != L.MIN_STACK_DEPTH:
+        raise VerificationError("stack outputs must have 16 entries")
+    statement = _statement(
+        proof.program_hash, proof.stack_inputs, proof.stack_outputs
+    )
+    verify(params, statement, proof.stark, DuplexChallenger(PROTOCOL_SEED))
