@@ -28,7 +28,44 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_2P20_S = 6.9  # EPYC 9R45 64T, Poseidon2 hash, 2^20 rows
 
 
+def bench_vm() -> None:
+    """BENCH_VM=1: prove a real MASM execution end-to-end (execute →
+    trace → core AIR → STARK) and verify it."""
+    from miden_tpu.vm.assembler import assemble
+    from miden_tpu.vm.prove import prove_program, verify_program
+
+    reps = int(os.environ.get("BENCH_VM_REPS", "40"))
+    src = (
+        "begin push.0 push.1 "
+        + f"repeat.{reps} swap dup.1 add end "
+        + "swap drop swap drop end"
+    )
+    prog = assemble(src)
+    out, proof = prove_program(prog)  # warm-up (compiles are cached)
+    t0 = time.time()
+    out, proof = prove_program(prog)
+    steady_s = time.time() - t0
+    verify_program(proof)
+    n_rows = 1 << max(7, (4 * reps + 24).bit_length())
+    baseline_s = BASELINE_2P20_S * n_rows / (1 << 20)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_vm_prove_verify_masm",
+                "value": round(steady_s, 3),
+                "unit": "s",
+                "vs_baseline": round(baseline_s / steady_s, 4),
+                "proof_bytes": proof.stark.size_in_bytes(),
+                "top_of_stack": out.stack[0],
+            }
+        )
+    )
+
+
 def main() -> None:
+    if os.environ.get("BENCH_VM") == "1":
+        bench_vm()
+        return
     log_n = int(os.environ.get("BENCH_LOG_N", "16"))
 
     from miden_tpu.bench_airs import miden_shaped_statement

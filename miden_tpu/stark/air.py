@@ -582,6 +582,15 @@ class Air:
     num_public_values: int = 0
     periodic_columns: Sequence[Sequence[int]] = ()
 
+    # AIRs are stateless constraint definitions: hash/compare by type so
+    # jitted evaluators (air as a static argument) cache across fresh
+    # instances — otherwise every prove would retrace the quotient graph.
+    def __hash__(self):
+        return hash(type(self))
+
+    def __eq__(self, other):
+        return type(other) is type(self)
+
     def eval(self, f: Folder) -> None:
         raise NotImplementedError
 

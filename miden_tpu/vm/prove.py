@@ -82,4 +82,12 @@ def verify_program(proof: VmProof, params: PcsParams = MIDEN_PARAMS) -> None:
     statement = _statement(
         proof.program_hash, proof.stack_inputs, proof.stack_outputs
     )
-    verify(params, statement, proof.stark, DuplexChallenger(PROTOCOL_SEED))
+    from ..transcript.challenger import TranscriptError
+
+    try:
+        verify(params, statement, proof.stark, DuplexChallenger(PROTOCOL_SEED))
+    except TranscriptError as e:
+        # transcript desync (e.g. a tampered public claim diverges the
+        # Fiat–Shamir replay) is a verification failure, one error type
+        # for callers (verifier/src/lib.rs VerificationError)
+        raise VerificationError(str(e)) from e
