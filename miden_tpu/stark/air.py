@@ -300,9 +300,11 @@ class Folder:
         if isinstance(self.backend, DegreeBackend):
             return Expr(self.backend, "base", 1)
         if isinstance(self.backend, ScalarBackend):
-            return Expr(
-                self.backend, "ext", [self._main(c, offset).val for c in cols]
-            )
+            # kind follows the environment's element Exprs: the verifier's
+            # OOD claims are ext, the bytecode recorder's registers are base
+            elems = [self._main(c, offset) for c in cols]
+            kind = elems[0].kind if elems else "base"
+            return Expr(self.backend, kind, [e.val for e in elems])
         vals = [self._main(c, offset).val for c in cols]
         from ..field.goldilocks import Fp as _Fp
         import jax.numpy as _jnp
@@ -506,8 +508,12 @@ class Folder:
         if isinstance(self.backend, DegreeBackend):
             return Expr(self.backend, "base", max(e.val for e in exprs))
         if isinstance(self.backend, ScalarBackend):
+            # promotion must go through the backend: subclasses (e.g. the
+            # bytecode recorder) represent the zero imaginary part
+            # differently from the literal value 0
             vals = [
-                e.val if e.kind == kind else (e.val, 0) if kind == "ext" else e.val
+                e.val if e.kind == kind or kind == "base"
+                else self.backend._ext(e.val, e.kind)
                 for e in exprs
             ]
             return Expr(self.backend, kind, vals)

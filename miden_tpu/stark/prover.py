@@ -148,9 +148,77 @@ def evaluate_quotient(
     auxv_d = fp2_from_pairs_u64(
         np.asarray(aux_values, dtype=np.uint64).reshape(len(aux_values), 2)
     )
+    import os as _os
+
+    if _os.environ.get("MIDEN_TPU_INTERP") == "1" or _jax.default_backend() == "cpu":
+        # bytecode evaluator: O(1) compiled-program size — required on the
+        # CPU test mesh where XLA cannot compile the fused VM-AIR graph
+        return _evaluate_quotient_interp(
+            air, domain, log_d, main_lde, aux_lde, alpha_d, pub_d, rand_d, auxv_d
+        )
     return _evaluate_quotient_dev(
         air, domain, log_d, main_lde, aux_lde, alpha_d, pub_d, rand_d, auxv_d
     )
+
+
+def _evaluate_quotient_interp(
+    air, domain, log_d, main_lde, aux_lde, alpha, publics, randomness, aux_values
+):
+    """Same domain prep as _evaluate_quotient_dev, constraint evaluation via
+    the recorded bytecode program (stark/interp.py)."""
+    from . import interp
+
+    n = domain.trace_height
+    d = 1 << log_d
+    nd = n * d
+    stride = domain.lde_height // nd
+    shift = domain.lde_shift
+
+    main_gj = main_lde[::stride]
+    main_next = Fp(
+        jnp.roll(main_gj.lo, -d, axis=0), jnp.roll(main_gj.hi, -d, axis=0)
+    )
+    if aux_lde is not None and aux_lde.shape[1]:
+        aux_gj = aux_lde[::stride]
+        aux_next = Fp(
+            jnp.roll(aux_gj.lo, -d, axis=0), jnp.roll(aux_gj.hi, -d, axis=0)
+        )
+    else:
+        zero = jnp.zeros((nd, 0), dtype=jnp.uint32)
+        aux_gj = aux_next = Fp(zero, zero)
+
+    pts = pcs.coset_points(nd.bit_length() - 1, shift)
+    sn = gl.exp_power_of_2(shift, domain.log_trace_height)
+    wd = gl.two_adic_generator(log_d) if log_d else 1
+    z_vals = []
+    v = sn
+    for _ in range(d):
+        z_vals.append(gl.sub(v, 1))
+        v = gl.mul(v, wd)
+    zf = fp_from_u64(np.asarray(z_vals, dtype=np.uint64))
+    z_tile = Fp(jnp.tile(zf.lo, n), jnp.tile(zf.hi, n))
+    one = pcs._bconst(1, (nd,))
+    w_inv = gl.inv(domain.trace_generator)
+    first_den = fp_inv(fp_sub(pts, one))
+    last_den_raw = fp_sub(pts, pcs._bconst(w_inv, (nd,)))
+    last_den = fp_inv(last_den_raw)
+    selectors = (
+        fp_mul(z_tile, first_den),
+        fp_mul(z_tile, last_den),
+        last_den_raw,
+    )
+    periodic = [
+        _periodic_on_domain(p, n, log_d, shift) for p in air.periodic_columns
+    ]
+    acc = interp.evaluate_folded_constraints(
+        air, main_gj, main_next, aux_gj, aux_next, selectors,
+        publics, randomness, aux_values, periodic, alpha,
+    )
+    # fused divide by Z_H — D distinct values, inverted host-side
+    inv_z = [gl.inv(zv) for zv in z_vals]
+    invf = fp_from_u64(np.asarray(inv_z, dtype=np.uint64))
+    inv_tile = Fp(jnp.tile(invf.lo, n), jnp.tile(invf.hi, n))
+    return fp2_mul_base(acc, inv_tile)
 
 
 from functools import partial as _partial

@@ -7,21 +7,15 @@ Mirrors miden-vm/tests/integration/prove_verify.rs at the facade level
 
 import dataclasses
 
-import jax
 import pytest
 
 from miden_tpu.stark.verifier import VerificationError
 from miden_tpu.vm.assembler import assemble
 from miden_tpu.vm.prove import prove_program, verify_program
 
-# The core-AIR quotient graph compiles in ~6 min on the TPU (cached
-# persistently) but XLA:CPU cannot compile it in reasonable time — the
-# CPU suite covers the AIR via the exact scalar checker (test_core_air),
-# and this e2e runs on real TPU (bench.py BENCH_VM / verify drives).
-pytestmark = pytest.mark.skipif(
-    jax.default_backend() == "cpu",
-    reason="core-AIR quotient compile is impractical on XLA:CPU",
-)
+# On the CPU test mesh the prover automatically uses the bytecode
+# constraint evaluator (stark/interp.py) — the fused XLA graph is only
+# compiled on real TPU.
 
 
 @pytest.fixture(scope="module")
