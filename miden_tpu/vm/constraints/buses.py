@@ -193,7 +193,43 @@ def core_bus_columns(f, fl):
     ])
     range_col = seq(_batch(one, [response]), requests)
 
-    return [block_stack, block_hash_op_group, overflow, range_col], ch
+    # ---- column 5: chiplet-bus requests (memory / bitwise) ------------
+    # message shapes match the chiplet responders (chiplets_air.py):
+    # memory [label, ctx, elem_addr, clk, values...] with labels
+    # 4/12/20/28 (chiplets/index.md §operation labels), bitwise
+    # [label, a, b, z] with labels 2/6.
+    def mem_msg(label, addr_e, vals):
+        return ch.msg(BUS_CHIPLET, [label, ctx, addr_e, clk, *vals])
+
+    dyn_read = ch.msg(
+        BUS_CHIPLET, [28, ctx, s[0], clk, h[0], h[1], h[2], h[3]]
+    )
+    fmp_write = ch.msg(
+        BUS_CHIPLET, [4, ctxn, (1 << 32) - 1, clk, 1 << 31]
+    )
+    chiplet_req = mux(one, [
+        (flg["MLOAD"], [(-1, mem_msg(12, s[0], [t[0]]))]),
+        (flg["MSTORE"], [(-1, mem_msg(4, s[0], [t[0]]))]),
+        (flg["MLOADW"], [(-1, mem_msg(28, s[0], t[0:4]))]),
+        (flg["MSTOREW"], [(-1, mem_msg(20, s[0], t[0:4]))]),
+        (flg["MSTREAM"], [
+            (-1, mem_msg(28, s[12], t[0:4])),
+            (-1, mem_msg(28, s[12] + 4, t[4:8])),
+        ]),
+        (flg["PIPE"], [
+            (-1, mem_msg(20, s[12], t[0:4])),
+            (-1, mem_msg(20, s[12] + 4, t[4:8])),
+        ]),
+        (flg["U32AND"], [(-1, ch.msg(BUS_CHIPLET, [2, s[0], s[1], t[0]]))]),
+        (flg["U32XOR"], [(-1, ch.msg(BUS_CHIPLET, [6, s[0], s[1], t[0]]))]),
+        (flg["DYN"], [(-1, dyn_read)]),
+        (flg["DYNCALL"], [(-1, dyn_read), (-1, fmp_write)]),
+        (flg["CALL"], [(-1, fmp_write)]),
+    ])
+
+    return [
+        block_stack, block_hash_op_group, overflow, range_col, chiplet_req
+    ], ch
 
 
 def seed_denominator(f):

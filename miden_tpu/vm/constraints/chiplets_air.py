@@ -1,0 +1,292 @@
+"""Chiplets AIR: stacked bitwise + memory chiplet constraints and their
+chiplet-bus / range-bus interactions.
+
+Specs: docs/src/design/chiplets/{index,bitwise,memory}.md. The selector
+prefix is monotone (regions can be empty); bitwise runs in 8-row cycles
+driven by periodic columns k0/k1; memory rows are sorted by
+(ctx, word_addr, clk) with 16-bit delta limbs range-checked through the
+cross-AIR range bus.
+
+Aux layout (3 EF columns): [accumulator, chiplet-bus responses,
+range-bus requests]. The final accumulator value is committed
+(num_aux_values = 1) and balanced against the core AIR's committed
+final through ``VmMultiAir.eval_external``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...stark.air import Air
+from .. import chiplets as C
+from .buses import BUS_CHIPLET, BUS_RANGE, Challenges, mux
+
+P2_16 = 1 << 16
+
+
+def chiplet_bus_columns(f):
+    """(V, U) pairs for the chiplet-bus response column and the range-bus
+    request column; shared by the constraint path and the numeric aux
+    builder."""
+    ch = Challenges(f)
+    one = f.const(1)
+    s0 = f.main(C.S0)
+    s1 = f.main(C.S1)
+    s2 = f.main(C.S2)
+    s2n = f.main(C.S2, 1)
+    fb = s0 * (1 - s1)
+    f_mem = s0 * s1 * (1 - s2)
+    f_mem_nl = s0 * s1 * (1 - s2n)
+    k1 = f.periodic(1)
+    rw = f.main(C.M_RW)
+    ew = f.main(C.M_EW)
+    ctx = f.main(C.M_CTX)
+    addr = f.main(C.M_ADDR)
+    idx0 = f.main(C.M_IDX0)
+    idx1 = f.main(C.M_IDX1)
+    clk = f.main(C.M_CLK)
+    v = [f.main(c) for c in C.M_V]
+    d0n = f.main(C.M_D0, 1)
+    d1n = f.main(C.M_D1, 1)
+    fidx = [
+        (1 - idx1) * (1 - idx0),
+        (1 - idx1) * idx0,
+        idx1 * (1 - idx0),
+        idx1 * idx0,
+    ]
+    # memory response (docs memory.md §memory-row-value): label
+    # 4 + 8·rw + 16·ew, element address addr + 2·idx1 + idx0, value lanes
+    # muxed between the word and the selected element
+    label = 4 + rw * 8 + ew * 16
+    elem_addr = addr + idx1 * 2 + idx0
+    e4 = ew * v[0] + (1 - ew) * sum(
+        (fidx[i] * v[i] for i in range(1, 4)), fidx[0] * v[0]
+    )
+    mem_msg = ch.msg(
+        BUS_CHIPLET,
+        [label, ctx, elem_addr, clk, e4, ew * v[1], ew * v[2], ew * v[3]],
+    )
+    # bitwise response at the cycle's final row (m = 1 - k1)
+    a = f.main(C.BW_A)
+    b = f.main(C.BW_B)
+    z = f.main(C.BW_Z)
+    bs = f.main(C.BW_S)
+    bw_msg = ch.msg(BUS_CHIPLET, [2 + bs * 4, a, b, z])
+    resp = mux(one, [
+        (f_mem, [(1, mem_msg)]),
+        (fb * (1 - k1), [(1, bw_msg)]),
+    ])
+    # range-bus requests for the next row's delta limbs
+    range_req = mux(one, [
+        (f_mem_nl, [
+            (-1, ch.msg(BUS_RANGE, [d0n])),
+            (-1, ch.msg(BUS_RANGE, [d1n])),
+        ]),
+    ])
+    return resp, range_req
+
+
+class ChipletsVmAir(Air):
+    width = C.CHIPLETS_WIDTH
+    aux_width = 3
+    num_randomness = 2
+    num_aux_values = 1
+    num_public_values = 36  # shared statement publics (unused here)
+    periodic_columns = (
+        (1, 0, 0, 0, 0, 0, 0, 0),  # k0: first row of each 8-row cycle
+        (1, 1, 1, 1, 1, 1, 1, 0),  # k1: all but the last row of each cycle
+    )
+
+    def eval(self, f) -> None:  # noqa: C901
+        fam = {"zero": [], "trans": [], "first": [], "last": []}
+
+        def A(kind, e, label):
+            fam[kind].append((e, label))
+
+        s0 = f.main(C.S0)
+        s1 = f.main(C.S1)
+        s2 = f.main(C.S2)
+        s3 = f.main(C.S3)
+        s4 = f.main(C.S4)
+        s0n = f.main(C.S0, 1)
+        s1n = f.main(C.S1, 1)
+        s2n = f.main(C.S2, 1)
+        s3n = f.main(C.S3, 1)
+
+        # ---- selector prefix: binary + monotone 0→1 -----------------------
+        prefix = f.const(1)
+        for i, (s, sn) in enumerate(
+            ((s0, s0n), (s1, s1n), (s2, s2n), (s3, s3n), (s4, None))
+        ):
+            A("zero", prefix * (s * s - s), f"sel{i}/binary")
+            if sn is not None:
+                A("trans", prefix * s * (sn - s), f"sel{i}/monotone")
+            prefix = prefix * s
+
+        # ---- chip_clk row counter -----------------------------------------
+        cc = f.main(C.CHIP_CLK)
+        A("first", cc - 1, "chip_clk/first")
+        A("trans", f.main(C.CHIP_CLK, 1) - cc - 1, "chip_clk/incr")
+
+        # ---- bitwise chiplet (fb = s0·(1-s1)) -----------------------------
+        fb = s0 * (1 - s1)
+        k0 = f.periodic(0)
+        k1 = f.periodic(1)
+        bs = f.main(C.BW_S)
+        a = f.main(C.BW_A)
+        b = f.main(C.BW_B)
+        an = f.main(C.BW_A, 1)
+        bn = f.main(C.BW_B, 1)
+        abits = [f.main(c) for c in C.BW_A_BITS]
+        bbits = [f.main(c) for c in C.BW_B_BITS]
+        abitsn = [f.main(c, 1) for c in C.BW_A_BITS]
+        bbitsn = [f.main(c, 1) for c in C.BW_B_BITS]
+        zp = f.main(C.BW_ZP)
+        z = f.main(C.BW_Z)
+        zpn = f.main(C.BW_ZP, 1)
+
+        A("zero", fb * (bs * bs - bs), "bw/s_binary")
+        A("trans", fb * k1 * (f.main(C.BW_S, 1) - bs), "bw/s_stable")
+        for i in range(4):
+            A("zero", fb * (abits[i] * abits[i] - abits[i]), f"bw/a{i}_bin")
+            A("zero", fb * (bbits[i] * bbits[i] - bbits[i]), f"bw/b{i}_bin")
+        agg_a = sum((abits[i] * (1 << i) for i in range(1, 4)), abits[0])
+        agg_b = sum((bbits[i] * (1 << i) for i in range(1, 4)), bbits[0])
+        agg_an = sum((abitsn[i] * (1 << i) for i in range(1, 4)), abitsn[0])
+        agg_bn = sum((bbitsn[i] * (1 << i) for i in range(1, 4)), bbitsn[0])
+        A("zero", fb * k0 * (a - agg_a), "bw/a_init")
+        A("zero", fb * k0 * (b - agg_b), "bw/b_init")
+        A("trans", fb * k1 * (an - (a * 16 + agg_an)), "bw/a_shift")
+        A("trans", fb * k1 * (bn - (b * 16 + agg_bn)), "bw/b_shift")
+        A("zero", fb * k0 * zp, "bw/zp_init")
+        A("trans", fb * k1 * (z - zpn), "bw/z_chain")
+        v_and = sum(
+            (abits[i] * bbits[i] * (1 << i) for i in range(1, 4)),
+            abits[0] * bbits[0],
+        )
+        v_xor = sum(
+            ((abits[i] + bbits[i] - 2 * abits[i] * bbits[i]) * (1 << i)
+             for i in range(1, 4)),
+            abits[0] + bbits[0] - 2 * abits[0] * bbits[0],
+        )
+        A("zero", fb * (z - (zp * 16 + v_and + bs * (v_xor - v_and))), "bw/agg")
+
+        # ---- memory chiplet ----------------------------------------------
+        f_mem = s0 * s1 * (1 - s2)
+        f_mem_nl = s0 * s1 * (1 - s2n)
+        f_mem_fr = (1 - s1) * s0 * s1n * (1 - s2n)
+        rw = f.main(C.M_RW)
+        ew = f.main(C.M_EW)
+        ctx = f.main(C.M_CTX)
+        addr = f.main(C.M_ADDR)
+        idx0 = f.main(C.M_IDX0)
+        idx1 = f.main(C.M_IDX1)
+        clk = f.main(C.M_CLK)
+        v = [f.main(c) for c in C.M_V]
+        rwn = f.main(C.M_RW, 1)
+        ewn = f.main(C.M_EW, 1)
+        ctxn = f.main(C.M_CTX, 1)
+        addrn = f.main(C.M_ADDR, 1)
+        idx0n = f.main(C.M_IDX0, 1)
+        idx1n = f.main(C.M_IDX1, 1)
+        clkn = f.main(C.M_CLK, 1)
+        vn = [f.main(c, 1) for c in C.M_V]
+        d0n = f.main(C.M_D0, 1)
+        d1n = f.main(C.M_D1, 1)
+        tn = f.main(C.M_T, 1)
+        fscwn = f.main(C.M_FSCW, 1)
+
+        dctx = ctxn - ctx
+        da = addrn - addr
+        dclk = clkn - clk
+        n0 = dctx * tn
+        n1 = da * tn
+
+        A("trans", f_mem_nl * (n0 * n0 - n0), "mem/n0_bin")
+        A("trans", f_mem_nl * (1 - n0) * dctx, "mem/ctx_same")
+        A("trans", f_mem_nl * (1 - n0) * (n1 * n1 - n1), "mem/n1_bin")
+        A("trans", f_mem_nl * (1 - n0) * (1 - n1) * da, "mem/addr_same")
+        for name, col in (("rw", rw), ("ew", ew), ("idx0", idx0), ("idx1", idx1)):
+            A("zero", f_mem * (col * col - col), f"mem/{name}_bin")
+        A("zero", f_mem * ew * idx0, "mem/word_idx0")
+        A("zero", f_mem * ew * idx1, "mem/word_idx1")
+        A(
+            "trans",
+            f_mem_nl
+            * (
+                n0 * dctx
+                + (1 - n0) * (n1 * da + (1 - n1) * dclk)
+                - (d1n * P2_16 + d0n)
+            ),
+            "mem/delta_limbs",
+        )
+        A(
+            "trans",
+            f_mem_nl * fscwn * (1 - dclk * tn) * ((1 - rw) + (1 - rwn)),
+            "mem/same_clk_reads",
+        )
+        A(
+            "trans",
+            f_mem_nl * (fscwn - (1 - n0) * (1 - n1)),
+            "mem/fscw",
+        )
+
+        fidx_n = [
+            (1 - idx1n) * (1 - idx0n),
+            (1 - idx1n) * idx0n,
+            idx1n * (1 - idx0n),
+            idx1n * idx0n,
+        ]
+        for i in range(4):
+            ci = rwn + (1 - rwn) * (1 - ewn) * (1 - fidx_n[i])
+            A("trans", f_mem_fr * ci * vn[i], f"mem/first_v{i}")
+            A(
+                "trans",
+                f_mem_nl * ci * (fscwn * (vn[i] - v[i]) + (1 - fscwn) * vn[i]),
+                f"mem/copy_v{i}",
+            )
+        # when the memory region starts at trace row 0 (empty bitwise region)
+        fidx = [
+            (1 - idx1) * (1 - idx0),
+            (1 - idx1) * idx0,
+            idx1 * (1 - idx0),
+            idx1 * idx0,
+        ]
+        for i in range(4):
+            ci0 = rw + (1 - rw) * (1 - ew) * (1 - fidx[i])
+            A("first", f_mem * ci0 * v[i], f"mem/row0_v{i}")
+
+        # ---- buses ---------------------------------------------------------
+        resp, range_req = chiplet_bus_columns(f)
+
+        acc = f.aux(0)
+        accn = f.aux(0, 1)
+        total = acc
+        for i, (V, U) in enumerate((resp, range_req)):
+            av = f.aux(1 + i)
+            A("trans", U * av - V, f"bus/col{i}")
+            total = total + av
+        A("trans", accn - total, "bus/acc")
+        A("first", acc, "bus/acc_first")
+        A("last", acc - f.aux_value(0), "bus/acc_final")
+
+        # ---- flush ---------------------------------------------------------
+        self.label_order = []
+        sinks = (
+            ("zero", f.assert_zero_many),
+            ("trans", f.assert_transition_many),
+            ("first", f.assert_zero_first_row_many),
+            ("last", f.assert_zero_last_row_many),
+        )
+        for kind, sink in sinks:
+            items = fam[kind]
+            if items:
+                sink(f.stack([e for e, _ in items]), f"family/{kind}")
+                self.label_order.extend(label for _, label in items)
+
+    def build_aux_trace(self, main, publics, aux_inputs, randomness):
+        from .aux_numeric import build_numeric_aux
+
+        return build_numeric_aux(
+            self, main, publics, randomness, chiplet_bus_columns
+        )

@@ -35,8 +35,6 @@ FORBIDDEN_OPS = (
     "FRIE2F4",
     "HPERM",
     "MPVERIFY",
-    "PIPE",
-    "MSTREAM",
     "HORNERBASE",
     "HORNEREXT",
     "EVALCIRCUIT",
@@ -215,6 +213,13 @@ STACK_SPEC: dict = {
     "MLOADW": dict(left=range(5, 16)),  # t0..t3 bound by the memory bus
     "MSTORE": dict(left=range(1, 16)),
     "MSTOREW": dict(left=range(1, 16)),
+    # t0..t7 bound by the memory bus; s12 advances by 8 (io_ops.md MSTREAM/PIPE)
+    "MSTREAM": dict(no=[8, 9, 10, 11, 13, 14, 15], spec=lambda s, t, h, v: [
+        (t[12] - s[12] - 8, "mstream/fmp"),
+    ]),
+    "PIPE": dict(no=[8, 9, 10, 11, 13, 14, 15], spec=lambda s, t, h, v: [
+        (t[12] - s[12] - 8, "pipe/fmp"),
+    ]),
     # -- right-shift group --------------------------------------------------
     "PAD": dict(right=range(0, 15), spec=lambda s, t, h, v: [(t[0], "pad")]),
     "DUP0": _dup(0), "DUP1": _dup(1), "DUP2": _dup(2), "DUP3": _dup(3),
@@ -276,9 +281,9 @@ class CoreVmAir(Air):
     5 LogUp aux columns: accumulator + 4 fraction columns)."""
 
     width = L.CORE_WIDTH
-    aux_width = 5
+    aux_width = 6
     num_randomness = 2
-    num_aux_values = 0
+    num_aux_values = 1
     num_public_values = 36  # stack_in(16) | stack_out(16) | program_hash(4)
 
     def eval(self, f) -> None:  # noqa: C901
@@ -543,7 +548,7 @@ class CoreVmAir(Air):
         # seed = block-hash-table init row (0, program_hash, 0, 0): the
         # accumulator starts at 1/d_seed and a balanced run ends at 0
         A("first", acc * seed_denominator(f) - 1, "bus/seed")
-        A("last", acc, "bus/final")
+        A("last", acc - f.aux_value(0), "bus/final")
 
         # ---- flush: one stacked fold per selector kind ---------------------
         self.label_order = []
@@ -561,89 +566,62 @@ class CoreVmAir(Air):
 
 
     def build_aux_trace(self, main, publics, aux_inputs, randomness):
-        """Numeric LogUp aux columns: evaluates the exact same fraction
-        specs as the constraints (buses.core_bus_columns) with scalar
-        arithmetic per row, then prefix-sums the accumulator from the
-        block-hash seed. Returns ((n, 5, 2) u64, [])."""
-        from ...field import gl
-        from ...stark.air import Expr, Folder, ScalarBackend
+        from .aux_numeric import build_numeric_aux
         from .buses import core_bus_columns, seed_denominator
         from .op_flags import OpFlags
 
-        n = main.shape[0]
-        be = ScalarBackend()
-
-        def base(v):
-            return Expr(be, "base", int(v) % gl.P)
-
-        def ext(pair):
-            return Expr(be, "ext", (int(pair[0]) % gl.P, int(pair[1]) % gl.P))
-
-        pubs = [base(v) for v in publics]
-        rands = [ext(r) for r in randomness]
-
-        def as_ext(val):
-            return val if isinstance(val, tuple) else (val % gl.P, 0)
-
-        fracs = np.zeros((n, 4, 2), dtype=np.uint64)
-        for r in range(n - 1):
-            rn = r + 1
-
-            def main_fn(c, o=0, r=r, rn=rn):
-                return base(main[rn if o else r, c])
-
-            f = Folder(
-                be, main_fn=main_fn, publics=pubs, randomness=rands,
-                selectors=(base(0), base(0), base(1)),
-            )
-            cols, _ = core_bus_columns(f, OpFlags(f))
-            for i, (V, U) in enumerate(cols):
-                v = as_ext(V.val)
-                u = as_ext(U.val)
-                fracs[r, i] = gl.ext_mul(v, gl.ext_inv(u))
-
-        aux = np.zeros((n, 5, 2), dtype=np.uint64)
-        f0 = Folder(
-            be, main_fn=lambda c, o=0: base(main[o, c]), publics=pubs,
-            randomness=rands, selectors=(base(1), base(0), base(1)),
+        return build_numeric_aux(
+            self, main, publics, randomness,
+            lambda f: core_bus_columns(f, OpFlags(f))[0],
+            seed_fn=seed_denominator,
         )
-        acc = gl.ext_inv(as_ext(seed_denominator(f0).val))
-        for r in range(n):
-            aux[r, 0] = acc
-            aux[r, 1:5] = fracs[r]
-            for i in range(4):
-                acc = gl.ext_add(acc, (int(fracs[r, i, 0]), int(fracs[r, i, 1])))
-        return aux, []
 
 
 def check_core_trace(trace, max_violations: int = 20):
-    """Debug-check a CoreTrace against CoreVmAir (exact scalar arithmetic)."""
+    """Debug-check a CoreTrace: both VM AIRs (exact scalar arithmetic) plus
+    the cross-AIR LogUp balance."""
+    from ...field import gl
     from ...stark.debug import check_air
+    from .chiplets_air import ChipletsVmAir
 
     publics = (
         list(trace.stack_inputs)
         + list(trace.stack_outputs)
         + list(trace.program_hash)
     )
-    air = CoreVmAir()
-    main = np.asarray(trace.matrix, dtype=np.uint64)
     # fixed nontrivial pseudo-randomness: exercises the LogUp buses with
-    # the same aux builder the prover uses
+    # the same aux builders the prover uses
     randomness = [(0x1234_5678_9ABC_DEF0, 0x0FED_CBA9_8765_4321), (12345, 67890)]
-    aux, _ = air.build_aux_trace(main, publics, [], randomness)
-    violations = check_air(
-        air,
-        main,
-        aux=aux,
-        publics=publics,
-        randomness=randomness,
-        max_violations=max_violations,
-    )
-    # constraints are emitted as stacked families; recover per-constraint
-    # labels from the emission order recorded by eval()
-    order = getattr(air, "label_order", None)
-    if order:
-        for v in violations:
-            if v.index < len(order):
-                v.label = order[v.index]
+
+    violations = []
+    finals = []
+    for air, main in (
+        (CoreVmAir(), np.asarray(trace.matrix, dtype=np.uint64)),
+        (ChipletsVmAir(), np.asarray(trace.chiplets, dtype=np.uint64)),
+    ):
+        aux, aux_values = air.build_aux_trace(main, publics, [], randomness)
+        vs = check_air(
+            air,
+            main,
+            aux=aux,
+            publics=publics,
+            randomness=randomness,
+            aux_values=aux_values,
+            max_violations=max_violations,
+        )
+        order = getattr(air, "label_order", None)
+        if order:
+            for v in vs:
+                if v.index < len(order):
+                    v.label = f"{type(air).__name__}:{order[v.index]}"
+        violations.extend(vs)
+        finals.extend(aux_values)
+
+    total = (0, 0)
+    for v in finals:
+        total = gl.ext_add(total, (int(v[0]), int(v[1])))
+    if total != (0, 0):
+        from ...stark.debug import Violation
+
+        violations.append(Violation(-1, -1, "external/logup_balance", total))
     return violations

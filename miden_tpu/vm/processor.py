@@ -731,7 +731,7 @@ class Processor:
             self._drop()
         elif name == "SWAP":
             s[0], s[1] = s[1], s[0]
-        elif name.startswith("SWAPW"):
+        elif name.startswith("SWAPW") or name == "SWAPDW":
             if name == "SWAPDW":
                 s[0:8], s[8:16] = s[8:16], s[0:8]
             else:

@@ -13,12 +13,14 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from ..field import gl
 from ..stark.params import MIDEN_PARAMS, PcsParams
 from ..stark.prover import Proof, Statement
 from ..stark.air import MultiAir
 from ..transcript.challenger import DuplexChallenger
 from . import layout as L
 from .constraints import CoreVmAir
+from .constraints.chiplets_air import ChipletsVmAir
 from .mast import Program
 from .processor import AdviceProvider, ExecutionOutput, StackInputs
 from .trace import execute_and_trace
@@ -39,10 +41,23 @@ class VmProof:
     stark: Proof
 
 
+class VmMultiAir(MultiAir):
+    """Core + chiplets AIRs with the cross-AIR LogUp balance: the committed
+    final accumulator values of all AIRs must sum to zero (the STARK
+    analog of MidenMultiAir::eval_external, air/src/lib.rs)."""
+
+    def eval_external(self, randomness, aux_values, log_heights):
+        total = (0, 0)
+        for vals in aux_values:
+            for v in vals:
+                total = gl.ext_add(total, (int(v[0]), int(v[1])))
+        return [total]
+
+
 def _statement(program_hash, stack_inputs, stack_outputs) -> Statement:
     publics = list(stack_inputs) + list(stack_outputs) + list(program_hash)
     assert len(publics) == 36
-    return Statement(MultiAir([CoreVmAir()]), publics)
+    return Statement(VmMultiAir([CoreVmAir(), ChipletsVmAir()]), publics)
 
 
 def prove_program(
@@ -60,7 +75,10 @@ def prove_program(
         trace.program_hash, trace.stack_inputs, trace.stack_outputs
     )
     res = prove(
-        params, statement, [trace.matrix], DuplexChallenger(PROTOCOL_SEED)
+        params,
+        statement,
+        [trace.matrix, trace.chiplets],
+        DuplexChallenger(PROTOCOL_SEED),
     )
     return out, VmProof(
         program_hash=trace.program_hash,

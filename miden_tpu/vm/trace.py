@@ -62,10 +62,11 @@ class SpanState:
 
 @dataclass
 class CoreTrace:
-    """The finalized core trace plus the replay logs the chiplet traces are
-    built from."""
+    """The finalized core trace, the chiplets trace, and the replay logs
+    they were built from."""
 
     matrix: np.ndarray  # (n, 51) uint64
+    chiplets: np.ndarray  # (m, 22) uint64
     num_real_rows: int
     program_hash: tuple
     stack_inputs: list[int]
@@ -312,9 +313,19 @@ class TraceBuilder:
         self.program_hash = program.forest[program.entrypoint].digest
         n_real = len(self.rows)
 
+        # chiplets trace (memory + bitwise regions); its 16-bit delta limbs
+        # are range-checked through the core range column
+        from . import chiplets as CH
+
+        chip_height = CH.chiplets_height(p.bitwise_log, p.mem_log)
+        chiplets, mem_range = CH.build_chiplets_trace(
+            p.bitwise_log, p.mem_log, chip_height
+        )
+
         # 16-bit range-check requests: every u32rc-flagged row (opcode prefix
-        # 0b100) requests its four helper limbs h2..h5 (docs range.md bus).
-        requests: list[int] = []
+        # 0b100) requests its four helper limbs h2..h5 (docs range.md bus),
+        # plus the memory chiplet's d0/d1 limbs.
+        requests: list[int] = list(mem_range)
         for row in self.rows:
             opcode = sum(row[L.OP_BITS[i]] << i for i in range(7))
             if opcode >> 4 == 0b100:
@@ -376,6 +387,7 @@ class TraceBuilder:
 
         return CoreTrace(
             matrix=m,
+            chiplets=chiplets,
             num_real_rows=n_real,
             program_hash=self.program_hash,
             stack_inputs=self.stack_inputs,

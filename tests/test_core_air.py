@@ -159,7 +159,7 @@ def test_forged_program_hash_caught():
     ph[0] = (ph[0] + 1) % gl.P
     bad = dataclasses.replace(trace, program_hash=tuple(ph))
     violations = check_core_trace(bad, max_violations=50)
-    assert any("bus" in v.label for v in violations), violations
+    assert any("bus" in v.label or "logup" in v.label for v in violations), violations
 
 
 def test_tampered_join_digest_breaks_block_hash_bus():
@@ -175,7 +175,7 @@ def test_tampered_join_digest_breaks_block_hash_bus():
     m = trace.matrix.copy()
     m[join, L.HASHER[2]] += 1
     v = check_core_trace(dataclasses.replace(trace, matrix=m), max_violations=5)
-    assert any("bus" in x.label for x in v), v
+    assert any("bus" in x.label or "logup" in x.label for x in v), v
 
 
 def test_tampered_overflow_value_caught():
