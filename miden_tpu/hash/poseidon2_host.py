@@ -59,6 +59,67 @@ def permute(state: list[int]) -> list[int]:
     return s
 
 
+def _internal_round(s: list[int], rc: int) -> tuple[list[int], int]:
+    """One internal round; returns (new state, s-box output witness)."""
+    s0 = _sbox((s[0] + rc) % P)
+    total = (s0 + sum(s[1:])) % P
+    return [
+        (total + C.MAT_DIAG[i] * (s0 if i == 0 else s[i])) % P for i in range(12)
+    ], s0
+
+
+def permute_packed_rows(state: list[int]) -> tuple[list[list[int]], list[list[int]]]:
+    """The 16-row packed Poseidon2 schedule (docs chiplets/hasher.md
+    §poseidon2-permutation-air): returns (states, witnesses) where
+    states[r] is the pre-transition state stored on cycle row r
+    (states[15] = permutation output) and witnesses[r] the three s-box
+    witness cells for row r (zeros where unused).
+
+    Schedule: row 0 = initial linear layer + external round 1; rows 1-3 =
+    external rounds 2-4; rows 4-10 = internal rounds in packs of 3;
+    row 11 = final internal round + terminal external round 1; rows
+    12-14 = terminal external rounds 2-4; row 15 = output.
+    """
+    states: list[list[int]] = []
+    wits: list[list[int]] = []
+    s = [x % P for x in state]
+
+    def ext_round(cur, rc):
+        return _mds_external([_sbox((x + k) % P) for x, k in zip(cur, rc)])
+
+    # row 0: initial linear layer + first external round
+    states.append(list(s))
+    wits.append([0, 0, 0])
+    s = ext_round(_mds_external(s), C.ARK_EXT_INITIAL[0:12])
+    # rows 1-3: external rounds 2-4
+    for r in range(1, 4):
+        states.append(list(s))
+        wits.append([0, 0, 0])
+        s = ext_round(s, C.ARK_EXT_INITIAL[12 * r : 12 * r + 12])
+    # rows 4-10: internal rounds packed 3 per row
+    for pack in range(7):
+        states.append(list(s))
+        w = []
+        for j in range(3):
+            s, sw = _internal_round(s, C.ARK_INT[3 * pack + j])
+            w.append(sw)
+        wits.append(w)
+    # row 11: final internal round + terminal external round 1
+    states.append(list(s))
+    s, sw = _internal_round(s, C.ARK_INT[21])
+    wits.append([sw, 0, 0])
+    s = ext_round(s, C.ARK_EXT_TERMINAL[0:12])
+    # rows 12-14: terminal external rounds 2-4
+    for r in range(1, 4):
+        states.append(list(s))
+        wits.append([0, 0, 0])
+        s = ext_round(s, C.ARK_EXT_TERMINAL[12 * r : 12 * r + 12])
+    # row 15: output
+    states.append(list(s))
+    wits.append([0, 0, 0])
+    return states, wits
+
+
 def hash_elements(elements: list[int]) -> list[int]:
     """Overwrite-mode sponge hash (StatefulSponge semantics): zero state,
     absorb rate-8 chunks by overwriting state[0..8] (zero-padding partial

@@ -59,13 +59,133 @@ M_FSCW = 17
 
 CHIP_CLK = 21
 
+# hasher controller payload (region s0 = 0)
+# row kinds: input (hs0=1, hs1=0) | output (hs0=0, hs1=ret_state) |
+# padding (hs0=1, hs1=1)
+H_HS0 = 1
+H_HS1 = 2
+H_BND = 3  # boundary: sponge start (inputs) / final output (outputs)
+H_STATE = tuple(range(4, 16))  # rate0[4] | rate1[4] | capacity[4]
+H_PERM = 16  # permutation cycle id (links to Poseidon2PermutationAir)
+
+# Poseidon2 permutation trace layout (16 columns, 16-row cycles)
+P_WITNESS = (0, 1, 2)
+P_STATE = tuple(range(3, 15))
+P_PERM = 15
+POSEIDON_WIDTH = 16
+
 # operation labels (chiplets/index.md §operation labels)
+OP_HASH_START = 3  # LINEAR_HASH: full-state sponge initialization
+OP_HASH_ABSORB = 35  # LINEAR_HASH + 32: rate-only continuation
+OP_HASH_RETURN = 1  # RETURN_HASH: digest (rate0)
+OP_HASH_RETSTATE = 9  # RETURN_STATE: full state (HPERM)
 OP_BITWISE_AND = 2
 OP_BITWISE_XOR = 6
 OP_MEM_WRITE_ELEMENT = 4
 OP_MEM_READ_ELEMENT = 12
 OP_MEM_WRITE_WORD = 20
 OP_MEM_READ_WORD = 28
+
+
+def _hasher_pairs(requests: list):
+    """Expand hasher requests into (input_state, bnd_in, bnd_out,
+    ret_state) permutation pairs, chained for sequential hashes."""
+    from ..hash import poseidon2_host as hp
+
+    pairs = []
+    for req in requests:
+        kind = req[0]
+        if kind == "control_block":
+            _, addr, h1, h2, domain = req
+            state = [*h1, *h2, 0, domain % P, 0, 0]
+            pairs.append((state, 1, 1, 0))
+        elif kind == "basic_block":
+            _, addr, batches = req
+            cap = [0, 0, 0, 0]
+            for i, batch in enumerate(batches):
+                state = [*(v % P for v in batch), *cap]
+                last = i == len(batches) - 1
+                pairs.append((state, 1 if i == 0 else 0, 1 if last else 0, 0))
+                cap = hp.permute(state)[8:12]
+        elif kind == "permute":
+            _, addr, state = req
+            pairs.append(([v % P for v in state], 1, 1, 1))
+        else:
+            raise NotImplementedError(
+                f"hasher request kind {kind!r} not provable yet (Merkle "
+                "path operations land with the MPVERIFY/MRUPDATE support)"
+            )
+    return pairs
+
+
+def build_hasher_rows(requests: list):
+    """Controller rows (2 per permutation pair, padded to 8-row alignment)
+    plus the deduplicated permutation cycles for Poseidon2PermutationAir.
+
+    Returns (rows, cycles) where cycles is a list of
+    (input_state, multiplicity)."""
+    from ..hash import poseidon2_host as hp
+
+    pairs = _hasher_pairs(requests)
+    n = 2 * len(pairs)
+    padded = -n % 8
+    rows = np.zeros((n + padded, CHIPLETS_WIDTH), dtype=np.uint64)
+
+    perm_ids: dict[tuple, int] = {}
+    counts: dict[tuple, int] = {}
+    cycles: list[tuple[list[int], int]] = []
+    for k, (state, bnd_in, bnd_out, ret_state) in enumerate(pairs):
+        key = tuple(state)
+        pid = perm_ids.get(key)
+        if pid is None:
+            pid = len(cycles)
+            perm_ids[key] = pid
+            cycles.append((list(state), 0))
+        counts[key] = counts.get(key, 0) + 1
+        out = hp.permute(state)
+        rin = rows[2 * k]
+        rin[H_HS0] = 1
+        rin[H_BND] = bnd_in
+        for i in range(12):
+            rin[H_STATE[i]] = state[i]
+        rin[H_PERM] = pid
+        rout = rows[2 * k + 1]
+        rout[H_HS1] = ret_state
+        rout[H_BND] = bnd_out
+        for i in range(12):
+            rout[H_STATE[i]] = out[i]
+        rout[H_PERM] = pid
+    cycles = [(st, counts[tuple(st)]) for st, _ in cycles]
+    # controller padding rows: (hs0, hs1) = (1, 1)
+    rows[n:, H_HS0] = 1
+    rows[n:, H_HS1] = 1
+    return rows, cycles
+
+
+def build_poseidon_trace(cycles: list) -> np.ndarray:
+    """Poseidon2 permutation trace: one 16-row packed cycle per unique
+    input state; multiplicity in witness[0] of rows 0 and 15; padding
+    cycles use the zero state with multiplicity 0."""
+    from ..hash import poseidon2_host as hp
+
+    # at least one zero-multiplicity padding cycle at the end: the final
+    # trace row's wiring fraction never enters the accumulator (transition
+    # window), so the last cycle must be padding
+    k = 1 << len(cycles).bit_length()
+    m = np.zeros((16 * k, POSEIDON_WIDTH), dtype=np.uint64)
+    for cid in range(k):
+        state, mult = cycles[cid] if cid < len(cycles) else ([0] * 12, 0)
+        states, wits = hp.permute_packed_rows(state)
+        for r in range(16):
+            row = m[16 * cid + r]
+            for i in range(3):
+                row[P_WITNESS[i]] = wits[r][i]
+            for i in range(12):
+                row[P_STATE[i]] = states[r][i]
+            row[P_PERM] = cid
+        m[16 * cid, P_WITNESS[0]] = mult
+        m[16 * cid + 15, P_WITNESS[0]] = mult
+    return m
 
 
 def build_bitwise_rows(bitwise_log: list) -> np.ndarray:
@@ -178,28 +298,25 @@ def build_memory_rows(mem_log: list) -> tuple[np.ndarray, list[int]]:
 
 
 def build_chiplets_trace(
-    bitwise_log: list, mem_log: list, height: int
-) -> tuple[np.ndarray, list[int]]:
-    """Stack the chiplet regions into a (height, 22) matrix; returns the
-    matrix and the memory d-limb range-check requests."""
+    hasher_requests: list, bitwise_log: list, mem_log: list
+) -> tuple[np.ndarray, np.ndarray, list[int]]:
+    """Stack the chiplet regions (hasher | bitwise | memory | padding)
+    into a power-of-two matrix; returns (chiplets, poseidon, d-limb
+    range-check requests)."""
+    hrows, cycles = build_hasher_rows(hasher_requests)
     bw = build_bitwise_rows(bitwise_log)
     mem, range_requests = build_memory_rows(mem_log)
-    used = bw.shape[0] + mem.shape[0]
-    assert used < height, (
-        f"chiplets trace overflow: {used} rows in height {height} "
-        "(the last row must be padding so memory transition constraints "
-        "and bus responses stay off it)"
-    )
+    used = hrows.shape[0] + bw.shape[0] + mem.shape[0]
+    height = 1 << max(3, used.bit_length())
+    if height == used:
+        height <<= 1  # the last row must be padding
     m = np.zeros((height, CHIPLETS_WIDTH), dtype=np.uint64)
-    m[: bw.shape[0]] = bw
-    m[bw.shape[0] : used] = mem
+    o = hrows.shape[0]
+    m[:o] = hrows
+    m[o : o + bw.shape[0]] = bw
+    m[o + bw.shape[0] : used] = mem
     # padding region: all selectors 1
     m[used:, S0:S4 + 1] = 1
     m[:, CHIP_CLK] = np.arange(1, height + 1, dtype=np.uint64)
-    return m, range_requests
-
-
-def chiplets_height(bitwise_log: list, mem_log: list) -> int:
-    """Power-of-two height with at least one padding row."""
-    used = 8 * len(bitwise_log) + len(mem_log)
-    return 1 << max(3, used.bit_length())
+    poseidon = build_poseidon_trace(cycles)
+    return m, poseidon, range_requests

@@ -36,6 +36,8 @@ BUS_RANGE = 4
 # reserved for the chiplet AIRs:
 BUS_CHIPLET = 5
 BUS_KERNEL = 6
+BUS_WIRING_IN = 7  # hasher controller ↔ Poseidon2 permutation link (inputs)
+BUS_WIRING_OUT = 8  # same, output states
 
 NUM_FRACTION_COLUMNS = 4  # block_stack | block_hash+op_group | overflow | range
 AUX_WIDTH = 1 + NUM_FRACTION_COLUMNS
@@ -207,6 +209,33 @@ def core_bus_columns(f, fl):
     fmp_write = ch.msg(
         BUS_CHIPLET, [4, ctxn, (1 << 32) - 1, clk, 1 << 31]
     )
+
+    # hasher requests (docs decoder/index.md §program-block-hashing):
+    # block starts hash at controller address a' (the new block id), the
+    # END row reads the digest at a + 1; control blocks carry the opcode
+    # in capacity lane 1 (merge_in_domain convention).
+    from ..ops import OPCODES
+
+    op_cur = sum(
+        (f.main(L.OP_BITS[i]) * (1 << i) for i in range(1, 7)),
+        f.main(L.OP_BITS[0]),
+    )
+
+    def hash_start(rate, domain):
+        return ch.msg(
+            BUS_CHIPLET,
+            [3, an, *rate, 0, domain, 0, 0],
+        )
+
+    start_join_split = hash_start(h[:8], op_cur)
+    start_one_word = hash_start([h[0], h[1], h[2], h[3], 0, 0, 0, 0], op_cur)
+    start_zero = hash_start([0] * 8, op_cur)
+    start_span = ch.msg(BUS_CHIPLET, [3, an, *h[:8]])
+    absorb_respan = ch.msg(BUS_CHIPLET, [35, an, *h[:8]])
+    end_read = ch.msg(BUS_CHIPLET, [1, a + 1, h[0], h[1], h[2], h[3]])
+    hperm_start = ch.msg(BUS_CHIPLET, [3, uh[0], *s[:12]])
+    hperm_ret = ch.msg(BUS_CHIPLET, [9, uh[0] + 1, *t[:12]])
+
     chiplet_req = mux(one, [
         (flg["MLOAD"], [(-1, mem_msg(12, s[0], [t[0]]))]),
         (flg["MSTORE"], [(-1, mem_msg(4, s[0], [t[0]]))]),
@@ -222,9 +251,15 @@ def core_bus_columns(f, fl):
         ]),
         (flg["U32AND"], [(-1, ch.msg(BUS_CHIPLET, [2, s[0], s[1], t[0]]))]),
         (flg["U32XOR"], [(-1, ch.msg(BUS_CHIPLET, [6, s[0], s[1], t[0]]))]),
-        (flg["DYN"], [(-1, dyn_read)]),
-        (flg["DYNCALL"], [(-1, dyn_read), (-1, fmp_write)]),
-        (flg["CALL"], [(-1, fmp_write)]),
+        (flg["JOIN"] + flg["SPLIT"], [(-1, start_join_split)]),
+        (flg["LOOP"] + flg["SYSCALL"], [(-1, start_one_word)]),
+        (flg["CALL"], [(-1, start_one_word), (-1, fmp_write)]),
+        (flg["SPAN"], [(-1, start_span)]),
+        (flg["RESPAN"], [(-1, absorb_respan)]),
+        (flg["END"], [(-1, end_read)]),
+        (flg["HPERM"], [(-1, hperm_start), (-1, hperm_ret)]),
+        (flg["DYN"], [(-1, dyn_read), (-1, start_zero)]),
+        (flg["DYNCALL"], [(-1, dyn_read), (-1, start_zero), (-1, fmp_write)]),
     ])
 
     return [

@@ -19,7 +19,14 @@ import numpy as np
 
 from ...stark.air import Air
 from .. import chiplets as C
-from .buses import BUS_CHIPLET, BUS_RANGE, Challenges, mux
+from .buses import (
+    BUS_CHIPLET,
+    BUS_RANGE,
+    BUS_WIRING_IN,
+    BUS_WIRING_OUT,
+    Challenges,
+    mux,
+)
 
 P2_16 = 1 << 16
 
@@ -72,9 +79,28 @@ def chiplet_bus_columns(f):
     z = f.main(C.BW_Z)
     bs = f.main(C.BW_S)
     bw_msg = ch.msg(BUS_CHIPLET, [2 + bs * 4, a, b, z])
+    # hasher controller responses: sponge starts/continuations on input
+    # rows, digest / full-state returns on output rows, addressed by
+    # chip_clk (docs chiplets/hasher.md §lookup-buses)
+    fh = 1 - s0
+    hs0 = f.main(C.H_HS0)
+    hs1 = f.main(C.H_HS1)
+    bnd = f.main(C.H_BND)
+    hstate = [f.main(c) for c in C.H_STATE]
+    cc = f.main(C.CHIP_CLK)
+    is_input = hs0 * (1 - hs1)
+    is_output = 1 - hs0
+    start_msg = ch.msg(BUS_CHIPLET, [C.OP_HASH_START, cc, *hstate])
+    absorb_msg = ch.msg(BUS_CHIPLET, [C.OP_HASH_ABSORB, cc, *hstate[:8]])
+    ret_msg = ch.msg(BUS_CHIPLET, [C.OP_HASH_RETURN, cc, *hstate[:4]])
+    retstate_msg = ch.msg(BUS_CHIPLET, [C.OP_HASH_RETSTATE, cc, *hstate])
     resp = mux(one, [
         (f_mem, [(1, mem_msg)]),
         (fb * (1 - k1), [(1, bw_msg)]),
+        (fh * is_input * bnd, [(1, start_msg)]),
+        (fh * is_input * (1 - bnd), [(1, absorb_msg)]),
+        (fh * is_output * (1 - hs1) * bnd, [(1, ret_msg)]),
+        (fh * is_output * hs1, [(1, retstate_msg)]),
     ])
     # range-bus requests for the next row's delta limbs
     range_req = mux(one, [
@@ -83,18 +109,27 @@ def chiplet_bus_columns(f):
             (-1, ch.msg(BUS_RANGE, [d1n])),
         ]),
     ])
-    return resp, range_req
+    # perm-link wiring: every controller pair inserts its input and output
+    # states keyed by perm_id; Poseidon2PermutationAir removes them with
+    # cycle multiplicities
+    perm = f.main(C.H_PERM)
+    wiring = mux(one, [
+        (fh * is_input, [(1, ch.msg(BUS_WIRING_IN, [perm, *hstate]))]),
+        (fh * is_output, [(1, ch.msg(BUS_WIRING_OUT, [perm, *hstate]))]),
+    ])
+    return resp, range_req, wiring
 
 
 class ChipletsVmAir(Air):
     width = C.CHIPLETS_WIDTH
-    aux_width = 3
+    aux_width = 4  # acc | chiplet responses | range requests | wiring
     num_randomness = 2
     num_aux_values = 1
     num_public_values = 36  # shared statement publics (unused here)
     periodic_columns = (
         (1, 0, 0, 0, 0, 0, 0, 0),  # k0: first row of each 8-row cycle
         (1, 1, 1, 1, 1, 1, 1, 0),  # k1: all but the last row of each cycle
+        (1, 0),  # p2: controller input rows sit at even region offsets
     )
 
     def eval(self, f) -> None:  # noqa: C901
@@ -256,13 +291,45 @@ class ChipletsVmAir(Air):
             ci0 = rw + (1 - rw) * (1 - ew) * (1 - fidx[i])
             A("first", f_mem * ci0 * v[i], f"mem/row0_v{i}")
 
+        # ---- hasher controller (fh = 1 - s0) ------------------------------
+        # docs chiplets/hasher.md §AIR obligations: row-kind booleanity,
+        # input/output pairing, padding stability, perm-id pair equality,
+        # sponge capacity chaining across continuations
+        fh = 1 - s0
+        p2 = f.periodic(2)
+        hs0 = f.main(C.H_HS0)
+        hs1 = f.main(C.H_HS1)
+        hbnd = f.main(C.H_BND)
+        hs0n = f.main(C.H_HS0, 1)
+        hs1n = f.main(C.H_HS1, 1)
+        hperm = f.main(C.H_PERM)
+        hpermn = f.main(C.H_PERM, 1)
+        is_pad = hs0 * hs1
+        is_input = hs0 * (1 - hs1)
+        is_output = 1 - hs0
+        is_pad_n = hs0n * hs1n
+        for name, col in (("hs0", hs0), ("hs1", hs1), ("bnd", hbnd)):
+            A("zero", fh * (col * col - col), f"hash/{name}_bin")
+        A("zero", fh * (1 - is_pad) * (p2 - is_input), "hash/pairing")
+        A("trans", fh * is_input * s0n, "hash/input_has_output")
+        A("trans", fh * is_input * (hpermn - hperm), "hash/perm_pair")
+        A("trans", fh * is_pad * (1 - s0n) * (1 - is_pad_n), "hash/pad_stable")
+        cont = fh * is_output * (1 - hbnd) * (1 - hs1)
+        for i in range(8, 12):
+            A(
+                "trans",
+                cont * (f.main(C.H_STATE[i], 1) - f.main(C.H_STATE[i])),
+                f"hash/chain_cap{i}",
+            )
+        A("trans", cont * (is_pad_n + s0n), "hash/chain_next_input")
+
         # ---- buses ---------------------------------------------------------
-        resp, range_req = chiplet_bus_columns(f)
+        resp, range_req, wiring = chiplet_bus_columns(f)
 
         acc = f.aux(0)
         accn = f.aux(0, 1)
         total = acc
-        for i, (V, U) in enumerate((resp, range_req)):
+        for i, (V, U) in enumerate((resp, range_req, wiring)):
             av = f.aux(1 + i)
             A("trans", U * av - V, f"bus/col{i}")
             total = total + av

@@ -33,7 +33,6 @@ U32M = P2_32 - 1
 # are forced to zero so the implemented subset stays sound
 FORBIDDEN_OPS = (
     "FRIE2F4",
-    "HPERM",
     "MPVERIFY",
     "HORNERBASE",
     "HORNEREXT",
@@ -175,6 +174,9 @@ STACK_SPEC: dict = {
         for c in ((t[i] - s[i + 8], f"swapdw/{i}"), (t[i + 8] - s[i], f"swapdw/{i + 8}"))
     ]),
     "EMIT": dict(no=range(0, 16)),
+    # 12-lane state in/out via the hasher chiplet bus; helper[0] = the
+    # controller address (crypto_ops.md HPERM)
+    "HPERM": dict(no=range(12, 16)),
     # -- left-shift group ---------------------------------------------------
     "ASSERT": dict(left=range(1, 16), spec=lambda s, t, h, v: [(s[0] - 1, "assert")]),
     "EQ": dict(left=range(2, 16), spec=lambda s, t, h, v: [
@@ -583,6 +585,7 @@ def check_core_trace(trace, max_violations: int = 20):
     from ...field import gl
     from ...stark.debug import check_air
     from .chiplets_air import ChipletsVmAir
+    from .poseidon2_air import Poseidon2PermutationAir
 
     publics = (
         list(trace.stack_inputs)
@@ -598,6 +601,7 @@ def check_core_trace(trace, max_violations: int = 20):
     for air, main in (
         (CoreVmAir(), np.asarray(trace.matrix, dtype=np.uint64)),
         (ChipletsVmAir(), np.asarray(trace.chiplets, dtype=np.uint64)),
+        (Poseidon2PermutationAir(), np.asarray(trace.poseidon, dtype=np.uint64)),
     ):
         aux, aux_values = air.build_aux_trace(main, publics, [], randomness)
         vs = check_air(

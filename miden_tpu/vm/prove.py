@@ -21,6 +21,7 @@ from ..transcript.challenger import DuplexChallenger
 from . import layout as L
 from .constraints import CoreVmAir
 from .constraints.chiplets_air import ChipletsVmAir
+from .constraints.poseidon2_air import Poseidon2PermutationAir
 from .mast import Program
 from .processor import AdviceProvider, ExecutionOutput, StackInputs
 from .trace import execute_and_trace
@@ -57,7 +58,10 @@ class VmMultiAir(MultiAir):
 def _statement(program_hash, stack_inputs, stack_outputs) -> Statement:
     publics = list(stack_inputs) + list(stack_outputs) + list(program_hash)
     assert len(publics) == 36
-    return Statement(VmMultiAir([CoreVmAir(), ChipletsVmAir()]), publics)
+    return Statement(
+        VmMultiAir([CoreVmAir(), ChipletsVmAir(), Poseidon2PermutationAir()]),
+        publics,
+    )
 
 
 def prove_program(
@@ -77,7 +81,7 @@ def prove_program(
     res = prove(
         params,
         statement,
-        [trace.matrix, trace.chiplets],
+        [trace.matrix, trace.chiplets, trace.poseidon],
         DuplexChallenger(PROTOCOL_SEED),
     )
     return out, VmProof(

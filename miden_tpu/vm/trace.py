@@ -67,6 +67,7 @@ class CoreTrace:
 
     matrix: np.ndarray  # (n, 51) uint64
     chiplets: np.ndarray  # (m, 22) uint64
+    poseidon: np.ndarray  # (16k, 16) uint64
     num_real_rows: int
     program_hash: tuple
     stack_inputs: list[int]
@@ -317,9 +318,8 @@ class TraceBuilder:
         # are range-checked through the core range column
         from . import chiplets as CH
 
-        chip_height = CH.chiplets_height(p.bitwise_log, p.mem_log)
-        chiplets, mem_range = CH.build_chiplets_trace(
-            p.bitwise_log, p.mem_log, chip_height
+        chiplets, poseidon, mem_range = CH.build_chiplets_trace(
+            p.hasher.requests, p.bitwise_log, p.mem_log
         )
 
         # 16-bit range-check requests: every u32rc-flagged row (opcode prefix
@@ -388,6 +388,7 @@ class TraceBuilder:
         return CoreTrace(
             matrix=m,
             chiplets=chiplets,
+            poseidon=poseidon,
             num_real_rows=n_real,
             program_hash=self.program_hash,
             stack_inputs=self.stack_inputs,
