@@ -499,9 +499,11 @@ class Assembler:
     """Compiles MASM modules into a MastForest
     (crates/assembly/src/assembler.rs:784 Assembler::assemble_program)."""
 
-    def __init__(self, kernel: "Assembler | None" = None):
+    def __init__(self, kernel: str | None = None):
+        """`kernel`: MASM source of the kernel module; every exported proc
+        becomes a syscall target (assembler.rs with_kernel)."""
         self.modules: dict[str, Module] = {}
-        self._kernel = kernel
+        self._kernel_mod = parse_module("$kernel", kernel) if kernel else None
 
     def add_module(self, path: str, source: str) -> None:
         self.modules[path] = parse_module(path, source)
@@ -517,9 +519,17 @@ class Assembler:
         self.modules[path] = mod
         forest = MastForest()
         ctx = _CompileContext(self, forest)
+        # compile the full kernel first: every kernel procedure is part of
+        # the kernel ROM (declared even if never called)
+        kernel_digests: tuple = ()
+        if self._kernel_mod is not None:
+            digests = []
+            for name in self._kernel_mod.procs:
+                node = ctx.compile_proc(self._kernel_mod, name)
+                digests.append(forest[node].digest)
+            kernel_digests = tuple(digests)
         root = ctx.compile_body(mod, list(mod.entry))
         forest.make_root(root)
-        kernel_digests: tuple = ()
         return Program(forest, root, kernel_digests)
 
 
@@ -636,10 +646,11 @@ class _CompileContext:
                 nodes.append(self.forest.add_call(callee))
             elif tok.startswith("syscall."):
                 flush()
-                kernel = self.asm._kernel
-                if kernel is None:
+                kmod = self.asm._kernel_mod
+                if kmod is None:
                     raise AssemblyError("syscall used but no kernel is linked")
-                raise AssemblyError("syscall assembly is not supported yet")
+                callee = self.compile_proc(kmod, tok[len("syscall.") :])
+                nodes.append(self.forest.add_call(callee, is_syscall=True))
             elif tok.startswith("procref."):
                 flush()
                 target = self.resolve_target(mod, tok[len("procref.") :])

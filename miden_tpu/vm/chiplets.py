@@ -57,6 +57,11 @@ M_D1 = 15
 M_T = 16
 M_FSCW = 17
 
+# kernel ROM payload (region s0..s3 = 1, s4 = 0): one row per declared
+# kernel procedure (docs chiplets/kernel_rom.md)
+K_MULT = 5  # syscall multiplicity (may be 0)
+K_ROOT = (6, 7, 8, 9)  # procedure digest
+
 CHIP_CLK = 21
 
 # hasher controller payload (region s0 = 0)
@@ -85,6 +90,8 @@ OP_MEM_WRITE_ELEMENT = 4
 OP_MEM_READ_ELEMENT = 12
 OP_MEM_WRITE_WORD = 20
 OP_MEM_READ_WORD = 28
+OP_KERNEL_PROC_CALL = 16
+OP_KERNEL_PROC_INIT = 48
 
 
 def _hasher_pairs(requests: list):
@@ -297,16 +304,39 @@ def build_memory_rows(mem_log: list) -> tuple[np.ndarray, list[int]]:
     return rows, range_requests
 
 
+def build_kernel_rows(kernel_digests, kernel_log: list) -> np.ndarray:
+    """One row per declared kernel procedure with its syscall multiplicity
+    (docs kernel_rom.md — all shape is enforced by the LogUp buses)."""
+    counts: dict[tuple, int] = {}
+    for digest in kernel_log:
+        counts[tuple(digest)] = counts.get(tuple(digest), 0) + 1
+    rows = np.zeros((len(kernel_digests), CHIPLETS_WIDTH), dtype=np.uint64)
+    for r, digest in enumerate(kernel_digests):
+        key = tuple(digest)
+        rows[r, S0:S3 + 1] = 1
+        rows[r, S4] = 0
+        rows[r, K_MULT] = counts.pop(key, 0)
+        for i in range(4):
+            rows[r, K_ROOT[i]] = digest[i]
+    assert not counts, f"syscalls to undeclared kernel procs: {list(counts)}"
+    return rows
+
+
 def build_chiplets_trace(
-    hasher_requests: list, bitwise_log: list, mem_log: list
+    hasher_requests: list,
+    bitwise_log: list,
+    mem_log: list,
+    kernel_digests=(),
+    kernel_log=(),
 ) -> tuple[np.ndarray, np.ndarray, list[int]]:
-    """Stack the chiplet regions (hasher | bitwise | memory | padding)
-    into a power-of-two matrix; returns (chiplets, poseidon, d-limb
-    range-check requests)."""
+    """Stack the chiplet regions (hasher | bitwise | memory | kernel ROM |
+    padding) into a power-of-two matrix; returns (chiplets, poseidon,
+    d-limb range-check requests)."""
     hrows, cycles = build_hasher_rows(hasher_requests)
     bw = build_bitwise_rows(bitwise_log)
     mem, range_requests = build_memory_rows(mem_log)
-    used = hrows.shape[0] + bw.shape[0] + mem.shape[0]
+    krom = build_kernel_rows(kernel_digests, list(kernel_log))
+    used = hrows.shape[0] + bw.shape[0] + mem.shape[0] + krom.shape[0]
     height = 1 << max(3, used.bit_length())
     if height == used:
         height <<= 1  # the last row must be padding
@@ -314,7 +344,10 @@ def build_chiplets_trace(
     o = hrows.shape[0]
     m[:o] = hrows
     m[o : o + bw.shape[0]] = bw
-    m[o + bw.shape[0] : used] = mem
+    o += bw.shape[0]
+    m[o : o + mem.shape[0]] = mem
+    o += mem.shape[0]
+    m[o:used] = krom
     # padding region: all selectors 1
     m[used:, S0:S4 + 1] = 1
     m[:, CHIP_CLK] = np.arange(1, height + 1, dtype=np.uint64)

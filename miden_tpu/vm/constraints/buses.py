@@ -235,6 +235,7 @@ def core_bus_columns(f, fl):
     end_read = ch.msg(BUS_CHIPLET, [1, a + 1, h[0], h[1], h[2], h[3]])
     hperm_start = ch.msg(BUS_CHIPLET, [3, uh[0], *s[:12]])
     hperm_ret = ch.msg(BUS_CHIPLET, [9, uh[0] + 1, *t[:12]])
+    kernel_call = ch.msg(BUS_CHIPLET, [16, h[0], h[1], h[2], h[3]])
 
     chiplet_req = mux(one, [
         (flg["MLOAD"], [(-1, mem_msg(12, s[0], [t[0]]))]),
@@ -252,7 +253,8 @@ def core_bus_columns(f, fl):
         (flg["U32AND"], [(-1, ch.msg(BUS_CHIPLET, [2, s[0], s[1], t[0]]))]),
         (flg["U32XOR"], [(-1, ch.msg(BUS_CHIPLET, [6, s[0], s[1], t[0]]))]),
         (flg["JOIN"] + flg["SPLIT"], [(-1, start_join_split)]),
-        (flg["LOOP"] + flg["SYSCALL"], [(-1, start_one_word)]),
+        (flg["LOOP"], [(-1, start_one_word)]),
+        (flg["SYSCALL"], [(-1, start_one_word), (-1, kernel_call)]),
         (flg["CALL"], [(-1, start_one_word), (-1, fmp_write)]),
         (flg["SPAN"], [(-1, start_span)]),
         (flg["RESPAN"], [(-1, absorb_respan)]),

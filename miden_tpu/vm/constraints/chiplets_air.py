@@ -109,6 +109,19 @@ def chiplet_bus_columns(f):
             (-1, ch.msg(BUS_RANGE, [d1n])),
         ]),
     ])
+    # kernel ROM: one INIT remove (balanced by the verifier's public
+    # boundary term over the declared kernel digests) and m CALL adds
+    # (balanced by SYSCALL requests) per row (docs kernel_rom.md)
+    s3 = f.main(C.S3)
+    s4 = f.main(C.S4)
+    f_krom = s0 * s1 * s2 * s3 * (1 - s4)
+    kmult = f.main(C.K_MULT)
+    kroot = [f.main(c) for c in C.K_ROOT]
+    v_init = ch.msg(BUS_CHIPLET, [C.OP_KERNEL_PROC_INIT, *kroot])
+    v_call = ch.msg(BUS_CHIPLET, [C.OP_KERNEL_PROC_CALL, *kroot])
+    krom = mux(one, [
+        (f_krom, [(-1, v_init), (kmult, v_call)]),
+    ])
     # perm-link wiring: every controller pair inserts its input and output
     # states keyed by perm_id; Poseidon2PermutationAir removes them with
     # cycle multiplicities
@@ -117,12 +130,12 @@ def chiplet_bus_columns(f):
         (fh * is_input, [(1, ch.msg(BUS_WIRING_IN, [perm, *hstate]))]),
         (fh * is_output, [(1, ch.msg(BUS_WIRING_OUT, [perm, *hstate]))]),
     ])
-    return resp, range_req, wiring
+    return resp, range_req, wiring, krom
 
 
 class ChipletsVmAir(Air):
     width = C.CHIPLETS_WIDTH
-    aux_width = 4  # acc | chiplet responses | range requests | wiring
+    aux_width = 5  # acc | chiplet responses | range requests | wiring | krom
     num_randomness = 2
     num_aux_values = 1
     num_public_values = 36  # shared statement publics (unused here)
@@ -324,12 +337,12 @@ class ChipletsVmAir(Air):
         A("trans", cont * (is_pad_n + s0n), "hash/chain_next_input")
 
         # ---- buses ---------------------------------------------------------
-        resp, range_req, wiring = chiplet_bus_columns(f)
+        resp, range_req, wiring, krom = chiplet_bus_columns(f)
 
         acc = f.aux(0)
         accn = f.aux(0, 1)
         total = acc
-        for i, (V, U) in enumerate((resp, range_req, wiring)):
+        for i, (V, U) in enumerate((resp, range_req, wiring, krom)):
             av = f.aux(1 + i)
             A("trans", U * av - V, f"bus/col{i}")
             total = total + av

@@ -621,10 +621,11 @@ def check_core_trace(trace, max_violations: int = 20):
         violations.extend(vs)
         finals.extend(aux_values)
 
-    total = (0, 0)
-    for v in finals:
-        total = gl.ext_add(total, (int(v[0]), int(v[1])))
-    if total != (0, 0):
+    from ..prove import VmMultiAir
+
+    multi = VmMultiAir([], getattr(trace, "kernel_digests", ()))
+    total = multi.eval_external(randomness, [finals], [])[0]
+    if tuple(total) != (0, 0):
         from ...stark.debug import Violation
 
         violations.append(Violation(-1, -1, "external/logup_balance", total))

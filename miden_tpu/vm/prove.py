@@ -39,28 +39,60 @@ class VmProof:
     program_hash: tuple
     stack_inputs: list[int]  # padded to 16, top first
     stack_outputs: list[int]  # 16 values, top first
+    kernel_digests: tuple
     stark: Proof
 
 
 class VmMultiAir(MultiAir):
-    """Core + chiplets AIRs with the cross-AIR LogUp balance: the committed
-    final accumulator values of all AIRs must sum to zero (the STARK
-    analog of MidenMultiAir::eval_external, air/src/lib.rs)."""
+    """VM AIRs with the cross-AIR LogUp balance: the committed final
+    accumulator values of all AIRs plus the verifier's public boundary
+    insertions (one KERNEL_PROC_INIT fraction per declared kernel digest,
+    docs kernel_rom.md) must sum to zero — the STARK analog of
+    MidenMultiAir::eval_external (air/src/lib.rs)."""
+
+    def __init__(self, airs, kernel_digests=()):
+        super().__init__(airs)
+        self.kernel_digests = tuple(tuple(d) for d in kernel_digests)
 
     def eval_external(self, randomness, aux_values, log_heights):
+        from .chiplets import OP_KERNEL_PROC_INIT
+        from .constraints.buses import BUS_CHIPLET, W
+
         total = (0, 0)
         for vals in aux_values:
             for v in vals:
                 total = gl.ext_add(total, (int(v[0]), int(v[1])))
+        if self.kernel_digests:
+            alpha = tuple(int(x) for x in randomness[0])
+            beta = tuple(int(x) for x in randomness[1])
+            beta_pows = [(1, 0)]
+            for _ in range(W):
+                beta_pows.append(gl.ext_mul(beta_pows[-1], beta))
+            prefix = gl.ext_add(
+                alpha, gl.ext_mul_base(beta_pows[W], BUS_CHIPLET + 1)
+            )
+            for digest in self.kernel_digests:
+                d = gl.ext_add(
+                    prefix, gl.ext_mul_base(beta_pows[0], OP_KERNEL_PROC_INIT)
+                )
+                for i, e in enumerate(digest):
+                    d = gl.ext_add(d, gl.ext_mul_base(beta_pows[1 + i], e % gl.P))
+                total = gl.ext_add(total, gl.ext_inv(d))
         return [total]
 
 
-def _statement(program_hash, stack_inputs, stack_outputs) -> Statement:
+def _statement(
+    program_hash, stack_inputs, stack_outputs, kernel_digests=()
+) -> Statement:
     publics = list(stack_inputs) + list(stack_outputs) + list(program_hash)
     assert len(publics) == 36
     return Statement(
-        VmMultiAir([CoreVmAir(), ChipletsVmAir(), Poseidon2PermutationAir()]),
+        VmMultiAir(
+            [CoreVmAir(), ChipletsVmAir(), Poseidon2PermutationAir()],
+            kernel_digests,
+        ),
         publics,
+        aux_inputs=[e % gl.P for d in kernel_digests for e in d],
     )
 
 
@@ -76,7 +108,10 @@ def prove_program(
 
     out, trace = execute_and_trace(program, stack_inputs, advice, **opts)
     statement = _statement(
-        trace.program_hash, trace.stack_inputs, trace.stack_outputs
+        trace.program_hash,
+        trace.stack_inputs,
+        trace.stack_outputs,
+        trace.kernel_digests,
     )
     res = prove(
         params,
@@ -88,6 +123,7 @@ def prove_program(
         program_hash=trace.program_hash,
         stack_inputs=list(trace.stack_inputs),
         stack_outputs=list(trace.stack_outputs),
+        kernel_digests=tuple(trace.kernel_digests),
         stark=res.proof,
     )
 
@@ -102,7 +138,10 @@ def verify_program(proof: VmProof, params: PcsParams = MIDEN_PARAMS) -> None:
     if len(proof.stack_outputs) != L.MIN_STACK_DEPTH:
         raise VerificationError("stack outputs must have 16 entries")
     statement = _statement(
-        proof.program_hash, proof.stack_inputs, proof.stack_outputs
+        proof.program_hash,
+        proof.stack_inputs,
+        proof.stack_outputs,
+        proof.kernel_digests,
     )
     from ..transcript.challenger import TranscriptError
 

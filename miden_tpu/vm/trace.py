@@ -72,6 +72,7 @@ class CoreTrace:
     program_hash: tuple
     stack_inputs: list[int]
     stack_outputs: list[int]
+    kernel_digests: tuple = ()
     hasher_requests: list = field(default_factory=list)
     mem_log: list = field(default_factory=list)
     bitwise_log: list = field(default_factory=list)
@@ -319,7 +320,11 @@ class TraceBuilder:
         from . import chiplets as CH
 
         chiplets, poseidon, mem_range = CH.build_chiplets_trace(
-            p.hasher.requests, p.bitwise_log, p.mem_log
+            p.hasher.requests,
+            p.bitwise_log,
+            p.mem_log,
+            program.kernel_digests,
+            p.kernel_log,
         )
 
         # 16-bit range-check requests: every u32rc-flagged row (opcode prefix
@@ -393,6 +398,7 @@ class TraceBuilder:
             program_hash=self.program_hash,
             stack_inputs=self.stack_inputs,
             stack_outputs=stack_out,
+            kernel_digests=tuple(program.kernel_digests),
             hasher_requests=list(p.hasher.requests),
             mem_log=list(getattr(p, "mem_log", [])),
             bitwise_log=list(getattr(p, "bitwise_log", [])),

@@ -145,3 +145,78 @@ def test_forged_memory_load_caught():
     m[mload_rows[0] + 1, L.STACK_TOP[0]] += 1
     bad = dataclasses.replace(trace, matrix=m)
     assert check_core_trace(bad, max_violations=8)
+
+
+def test_syscall_kernel_rom():
+    # kernel procedures bind through the kernel ROM chiplet: INIT removals
+    # balanced by the public kernel digests, CALL multiplicities by the
+    # SYSCALL rows (docs kernel_rom.md)
+    from miden_tpu.vm.mast import MastForest, Program
+    from miden_tpu.vm.ops import Op
+
+    forest = MastForest()
+    proc = forest.add_block([Op("PUSH", 7), Op("SWAP"), Op("DROP")])
+    unused = forest.add_block([Op("PUSH", 9), Op("SWAP"), Op("DROP")])
+    sys1 = forest.add_call(proc, is_syscall=True)
+    body = forest.add_block([Op("PUSH", 3)])
+    join = forest.add_join(body, sys1)
+    outer = forest.add_join(join, forest.add_block([Op("DROP")]))
+    forest.make_root(outer)
+    program = Program(
+        forest, outer,
+        kernel_digests=(forest[proc].digest, forest[unused].digest),
+    )
+    out, trace = execute_and_trace(program, [])
+    # [3] → syscall replaces with 7 → trailing block drops it
+    assert out.stack[0] == 0
+    violations = check_core_trace(trace)
+    assert not violations, violations[:8]
+    # kernel rows present: one per declared proc, multiplicities 1 and 0
+    krows = trace.chiplets[
+        (trace.chiplets[:, C.S0] == 1)
+        & (trace.chiplets[:, C.S1] == 1)
+        & (trace.chiplets[:, C.S2] == 1)
+        & (trace.chiplets[:, C.S3] == 1)
+        & (trace.chiplets[:, C.S4] == 0)
+    ]
+    assert sorted(int(r[C.K_MULT]) for r in krows) == [0, 1]
+
+    # forged kernel digest in the public claim breaks the balance
+    bad = dataclasses.replace(
+        trace,
+        kernel_digests=(
+            tuple((trace.kernel_digests[0][0] + 1,) + trace.kernel_digests[0][1:]),
+            trace.kernel_digests[1],
+        ),
+    )
+    assert check_core_trace(bad, max_violations=5)
+
+
+def test_masm_syscall_end_to_end():
+    # MASM-level kernel: Assembler(kernel=...) declares the ROM; syscall
+    # rows bind through KERNEL_PROC_CALL messages
+    from miden_tpu.vm.assembler import Assembler
+
+    kernel = """
+    export.get_secret
+        push.1234 swap drop
+    end
+    export.unused_proc
+        push.1 drop
+    end
+    """
+    asm = Assembler(kernel=kernel)
+    prog = asm.assemble_program("begin push.0 syscall.get_secret swap drop end")
+    out, trace = execute_and_trace(prog, [])
+    assert out.stack[0] == 1234
+    assert len(prog.kernel_digests) == 2
+    assert not check_core_trace(trace)
+
+    # syscalls to non-kernel procs are rejected at execution
+    import pytest as _pytest
+
+    from miden_tpu.vm.processor import ExecutionError
+
+    asm2 = Assembler(kernel="export.only_proc\n push.1 drop\nend")
+    with _pytest.raises(Exception):
+        asm2.assemble_program("begin syscall.not_there end")
