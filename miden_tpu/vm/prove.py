@@ -34,13 +34,72 @@ PROTOCOL_SEED = [0x6D69_6465, 0x6E2D_7470, 0x752D_766D, 0x0000_0001]
 
 @dataclass
 class VmProof:
-    """An execution proof: program hash + public stack values + STARK."""
+    """An execution proof: program hash + public stack values + STARK.
+
+    Serialization mirrors ExecutionProof::{to_bytes, from_bytes}
+    (core/src/proof.rs): an explicit little-endian layout over the public
+    claim followed by the STARK transcript bytes."""
 
     program_hash: tuple
     stack_inputs: list[int]  # padded to 16, top first
     stack_outputs: list[int]  # 16 values, top first
     kernel_digests: tuple
     stark: Proof
+
+    MAGIC = b"MVMP"
+    VERSION = 1
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        from ..stark.proof_io import proof_to_bytes
+
+        out = bytearray()
+        out += self.MAGIC
+        out += struct.pack("<I", self.VERSION)
+        for v in self.program_hash:
+            out += struct.pack("<Q", v % gl.P)
+        for v in self.stack_inputs:
+            out += struct.pack("<Q", v % gl.P)
+        for v in self.stack_outputs:
+            out += struct.pack("<Q", v % gl.P)
+        out += struct.pack("<I", len(self.kernel_digests))
+        for d in self.kernel_digests:
+            for v in d:
+                out += struct.pack("<Q", v % gl.P)
+        out += proof_to_bytes(self.stark)
+        return bytes(out)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "VmProof":
+        import struct
+
+        from ..stark.proof_io import ProofFormatError, proof_from_bytes
+
+        if data[:4] != cls.MAGIC:
+            raise ProofFormatError("bad execution-proof magic")
+        (version,) = struct.unpack_from("<I", data, 4)
+        if version != cls.VERSION:
+            raise ProofFormatError(f"unsupported proof version {version}")
+        off = 8
+
+        def read_felts(n):
+            nonlocal off
+            vals = struct.unpack_from(f"<{n}Q", data, off)
+            off += 8 * n
+            if any(v >= gl.P for v in vals):
+                raise ProofFormatError("non-canonical field element")
+            return list(vals)
+
+        ph = tuple(read_felts(4))
+        sin = read_felts(16)
+        sout = read_felts(16)
+        (n_kernel,) = struct.unpack_from("<I", data, off)
+        off += 4
+        if n_kernel > 4096:
+            raise ProofFormatError("implausible kernel size")
+        kernel = tuple(tuple(read_felts(4)) for _ in range(n_kernel))
+        return cls(ph, sin, sout, kernel, proof_from_bytes(data[off:]))
 
 
 class VmMultiAir(MultiAir):

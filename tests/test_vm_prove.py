@@ -59,3 +59,45 @@ def test_tampered_inputs_rejected(proven):
     )
     with pytest.raises(VerificationError):
         verify_program(bad)
+
+
+def test_proof_serialization_roundtrip(proven):
+    _, proof = proven
+    from miden_tpu.vm.prove import VmProof
+
+    blob = proof.to_bytes()
+    back = VmProof.from_bytes(blob)
+    assert back.program_hash == proof.program_hash
+    assert back.stack_outputs == proof.stack_outputs
+    assert back.kernel_digests == proof.kernel_digests
+    verify_program(back)
+    # bit-flip anywhere in the claim or transcript must fail parse or verify
+    import pytest as _p
+
+    from miden_tpu.stark.proof_io import ProofFormatError
+
+    corrupt = bytearray(blob)
+    corrupt[10] ^= 1
+    with _p.raises((ProofFormatError, VerificationError)):
+        verify_program(VmProof.from_bytes(bytes(corrupt)))
+
+
+def test_cli_compile_and_run(tmp_path):
+    import os
+    import subprocess
+    import sys
+
+    src = tmp_path / "p.masm"
+    src.write_text("begin push.2 push.3 mul swap drop end")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "miden_tpu", "compile", str(src)],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0 and "program hash:" in out.stdout
+    out = subprocess.run(
+        [sys.executable, "-m", "miden_tpu", "run", str(src)],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0
+    assert out.stdout.splitlines()[-1].startswith("output stack: [6,")
