@@ -1,4 +1,4 @@
-"""Chiplets trace: stacked memory + bitwise chiplet regions (22 columns).
+"""Chiplets trace: stacked memory + bitwise chiplet regions (24 columns).
 
 Mirrors the reference chiplets module structure (docs chiplets/index.md):
 regions are stacked top-down, identified by a monotone selector prefix,
@@ -11,11 +11,13 @@ selector slots are reserved), so the stack order here is:
 with an empty hasher region (s0 jumps straight to 1 — the selector
 monotonicity constraints allow any region to be empty).
 
-Column layout (width 22):
+Column layout (width 24):
   0..4   s0..s4 top-level selectors (overlaying payload per region)
   bitwise payload (cols 2..14):  s, a, b, a0..a3, b0..b3, zp, z
   memory payload  (cols 3..17):  rw, ew, ctx, word_addr, idx0, idx1,
                                  clk, v0..v3, d0, d1, t, f_scw
+  hasher payload  (cols 1..20, 22, 23): hs0, hs1, bnd, state[12],
+                                 perm_id, m, idx, dir, mro, mrn, mrid
   21     chip_clk (row index + 1)
 
 Specs: docs/src/design/chiplets/{memory,bitwise}.md; operation labels
@@ -30,7 +32,7 @@ from ..field import gl
 
 P = gl.P
 
-CHIPLETS_WIDTH = 22
+CHIPLETS_WIDTH = 24
 
 S0, S1, S2, S3, S4 = 0, 1, 2, 3, 4
 
@@ -72,6 +74,12 @@ H_HS1 = 2
 H_BND = 3  # boundary: sponge start (inputs) / final output (outputs)
 H_STATE = tuple(range(4, 16))  # rate0[4] | rate1[4] | capacity[4]
 H_PERM = 16  # permutation cycle id (links to Poseidon2PermutationAir)
+H_HS2 = 17  # Merkle-mode flag (path verification rows)
+H_IDX = 18  # remaining node index (inputs) / shifted index (outputs)
+H_DIR = 19  # direction bit: this level's (inputs) / next level's (outputs)
+H_MRO = 20  # MRUPDATE old-path leg flag (implies Merkle mode)
+H_MRN = 22  # MRUPDATE new-path leg flag (implies Merkle mode)
+H_MRID = 23  # update id shared by both legs (old leg's start address)
 
 # Poseidon2 permutation trace layout (16 columns, 16-row cycles)
 P_WITNESS = (0, 1, 2)
@@ -84,6 +92,9 @@ OP_HASH_START = 3  # LINEAR_HASH: full-state sponge initialization
 OP_HASH_ABSORB = 35  # LINEAR_HASH + 32: rate-only continuation
 OP_HASH_RETURN = 1  # RETURN_HASH: digest (rate0)
 OP_HASH_RETSTATE = 9  # RETURN_STATE: full state (HPERM)
+OP_HASH_MPVERIFY = 11  # MP_VERIFY: Merkle path verification start
+OP_HASH_MRUPDATE_OLD = 13  # MR_UPDATE old-path start (11 + 2·mro)
+OP_HASH_MRUPDATE_NEW = 15  # MR_UPDATE new-path start (11 + 4·mrn)
 OP_BITWISE_AND = 2
 OP_BITWISE_XOR = 6
 OP_MEM_WRITE_ELEMENT = 4
@@ -94,9 +105,49 @@ OP_KERNEL_PROC_CALL = 16
 OP_KERNEL_PROC_INIT = 48
 
 
+def _pair(state, bnd_in, bnd_out, ret_state=0, merkle=0,
+          idx_in=0, dir_in=0, idx_out=0, dir_out=0, mro=0, mrn=0, mrid=0):
+    return dict(
+        state=state, bnd_in=bnd_in, bnd_out=bnd_out, ret_state=ret_state,
+        merkle=merkle, idx_in=idx_in, dir_in=dir_in, idx_out=idx_out,
+        dir_out=dir_out, mro=mro, mrn=mrn, mrid=mrid,
+    )
+
+
+def _merkle_pairs(value, siblings, index, mro=0, mrn=0, mrid=0):
+    """One compression pair per level; the digest routes into rate0/rate1
+    of the next input by the next direction bit."""
+    from ..hash import poseidon2_host as hp
+
+    pairs = []
+    cur = [v % P for v in value]
+    idx = index
+    d = len(siblings)
+    for lvl, sib in enumerate(siblings):
+        bit = idx & 1
+        rate = [*sib, *cur] if bit else [*cur, *sib]
+        state = [*rate, 0, 0, 0, 0]
+        nidx = idx >> 1
+        pairs.append(_pair(
+            state,
+            bnd_in=1 if lvl == 0 else 0,
+            bnd_out=1 if lvl == d - 1 else 0,
+            merkle=1,
+            idx_in=idx,
+            dir_in=bit,
+            idx_out=nidx,
+            dir_out=(nidx & 1) if lvl < d - 1 else 0,
+            mro=mro, mrn=mrn, mrid=mrid,
+        ))
+        cur = hp.permute(state)[:4]
+        idx = nidx
+    assert idx == 0, "merkle path shorter than index"
+    return pairs
+
+
 def _hasher_pairs(requests: list):
-    """Expand hasher requests into (input_state, bnd_in, bnd_out,
-    ret_state) permutation pairs, chained for sequential hashes."""
+    """Expand hasher requests into permutation pair records, chained for
+    sequential hashes and Merkle paths."""
     from ..hash import poseidon2_host as hp
 
     pairs = []
@@ -105,22 +156,35 @@ def _hasher_pairs(requests: list):
         if kind == "control_block":
             _, addr, h1, h2, domain = req
             state = [*h1, *h2, 0, domain % P, 0, 0]
-            pairs.append((state, 1, 1, 0))
+            pairs.append(_pair(state, 1, 1))
         elif kind == "basic_block":
             _, addr, batches = req
             cap = [0, 0, 0, 0]
             for i, batch in enumerate(batches):
                 state = [*(v % P for v in batch), *cap]
                 last = i == len(batches) - 1
-                pairs.append((state, 1 if i == 0 else 0, 1 if last else 0, 0))
+                pairs.append(_pair(state, 1 if i == 0 else 0, 1 if last else 0))
                 cap = hp.permute(state)[8:12]
         elif kind == "permute":
             _, addr, state = req
-            pairs.append(([v % P for v in state], 1, 1, 1))
+            pairs.append(_pair([v % P for v in state], 1, 1, ret_state=1))
+        elif kind == "merkle_root":
+            _, addr, value, siblings, index = req
+            pairs.extend(_merkle_pairs(value, siblings, index))
+        elif kind == "update_merkle_root":
+            # two legs with the same siblings/index; the sibling-table bus
+            # (keyed by mrid = the old leg's start address) forces the legs
+            # to absorb identical siblings (docs hasher.md §sibling-table)
+            _, addr, old_value, new_value, siblings, index = req
+            pairs.extend(
+                _merkle_pairs(old_value, siblings, index, mro=1, mrid=addr)
+            )
+            pairs.extend(
+                _merkle_pairs(new_value, siblings, index, mrn=1, mrid=addr)
+            )
         else:
             raise NotImplementedError(
-                f"hasher request kind {kind!r} not provable yet (Merkle "
-                "path operations land with the MPVERIFY/MRUPDATE support)"
+                f"hasher request kind {kind!r} not provable yet"
             )
     return pairs
 
@@ -141,7 +205,8 @@ def build_hasher_rows(requests: list):
     perm_ids: dict[tuple, int] = {}
     counts: dict[tuple, int] = {}
     cycles: list[tuple[list[int], int]] = []
-    for k, (state, bnd_in, bnd_out, ret_state) in enumerate(pairs):
+    for k, pr in enumerate(pairs):
+        state = pr["state"]
         key = tuple(state)
         pid = perm_ids.get(key)
         if pid is None:
@@ -152,16 +217,28 @@ def build_hasher_rows(requests: list):
         out = hp.permute(state)
         rin = rows[2 * k]
         rin[H_HS0] = 1
-        rin[H_BND] = bnd_in
+        rin[H_BND] = pr["bnd_in"]
         for i in range(12):
             rin[H_STATE[i]] = state[i]
         rin[H_PERM] = pid
+        rin[H_HS2] = pr["merkle"]
+        rin[H_IDX] = pr["idx_in"]
+        rin[H_DIR] = pr["dir_in"]
+        rin[H_MRO] = pr["mro"]
+        rin[H_MRN] = pr["mrn"]
+        rin[H_MRID] = pr["mrid"]
         rout = rows[2 * k + 1]
-        rout[H_HS1] = ret_state
-        rout[H_BND] = bnd_out
+        rout[H_HS1] = pr["ret_state"]
+        rout[H_BND] = pr["bnd_out"]
         for i in range(12):
             rout[H_STATE[i]] = out[i]
         rout[H_PERM] = pid
+        rout[H_HS2] = pr["merkle"]
+        rout[H_IDX] = pr["idx_out"]
+        rout[H_DIR] = pr["dir_out"]
+        rout[H_MRO] = pr["mro"]
+        rout[H_MRN] = pr["mrn"]
+        rout[H_MRID] = pr["mrid"]
     cycles = [(st, counts[tuple(st)]) for st, _ in cycles]
     # controller padding rows: (hs0, hs1) = (1, 1)
     rows[n:, H_HS0] = 1

@@ -38,6 +38,7 @@ BUS_CHIPLET = 5
 BUS_KERNEL = 6
 BUS_WIRING_IN = 7  # hasher controller ↔ Poseidon2 permutation link (inputs)
 BUS_WIRING_OUT = 8  # same, output states
+BUS_SIBLING = 9  # MRUPDATE sibling table (hasher-internal, sums to zero)
 
 NUM_FRACTION_COLUMNS = 4  # block_stack | block_hash+op_group | overflow | range
 AUX_WIDTH = 1 + NUM_FRACTION_COLUMNS
@@ -235,6 +236,30 @@ def core_bus_columns(f, fl):
     end_read = ch.msg(BUS_CHIPLET, [1, a + 1, h[0], h[1], h[2], h[3]])
     hperm_start = ch.msg(BUS_CHIPLET, [3, uh[0], *s[:12]])
     hperm_ret = ch.msg(BUS_CHIPLET, [9, uh[0] + 1, *t[:12]])
+    # MPVERIFY: [V, depth, index, R, ...] — leaf + index enter at the
+    # controller address in helper[0]; the root returns 2·depth − 1 rows
+    # later (crypto_ops.md mpverify; hasher.md §merkle-path-verification)
+    mpv_start = ch.msg(BUS_CHIPLET, [11, uh[0], s[0], s[1], s[2], s[3], s[5]])
+    mpv_ret = ch.msg(
+        BUS_CHIPLET,
+        [1, uh[0] + 2 * s[4] - 1, s[6], s[7], s[8], s[9]],
+    )
+    # MRUPDATE: [V_old, d, i, R_old, V_new, ...] → [R_new, ...] — the old
+    # leg starts at uh[0] with mrid = uh[0]; the new leg follows at
+    # uh[0] + 2d; each returns its root 2d − 1 rows after its start
+    mru_old_start = ch.msg(
+        BUS_CHIPLET, [13, uh[0], s[0], s[1], s[2], s[3], s[5], uh[0]]
+    )
+    mru_old_ret = ch.msg(
+        BUS_CHIPLET, [1, uh[0] + 2 * s[4] - 1, s[6], s[7], s[8], s[9]]
+    )
+    mru_new_start = ch.msg(
+        BUS_CHIPLET,
+        [15, uh[0] + 2 * s[4], s[10], s[11], s[12], s[13], s[5], uh[0]],
+    )
+    mru_new_ret = ch.msg(
+        BUS_CHIPLET, [1, uh[0] + 4 * s[4] - 1, t[0], t[1], t[2], t[3]]
+    )
     kernel_call = ch.msg(BUS_CHIPLET, [16, h[0], h[1], h[2], h[3]])
 
     chiplet_req = mux(one, [
@@ -260,6 +285,26 @@ def core_bus_columns(f, fl):
         (flg["RESPAN"], [(-1, absorb_respan)]),
         (flg["END"], [(-1, end_read)]),
         (flg["HPERM"], [(-1, hperm_start), (-1, hperm_ret)]),
+        # α reads (crypto_ops.md §HORNERBASE/§HORNEREXT): two element
+        # reads at s13/s13+1 (values h0, h1) / one word read at s13
+        (flg["HORNERBASE"], [
+            (-1, mem_msg(12, s[13], [uh[0]])),
+            (-1, mem_msg(12, s[13] + 1, [uh[1]])),
+        ]),
+        (flg["HORNEREXT"], [(-1, mem_msg(28, s[13], uh[0:4]))]),
+        # plaintext reads (ciphertext − rate) and ciphertext writes
+        # (crypto_ops.md §CRYPTOSTREAM)
+        (flg["CRYPTOSTREAM"], [
+            (-1, mem_msg(28, s[12], [t[i] - s[i] for i in range(4)])),
+            (-1, mem_msg(28, s[12] + 4, [t[i] - s[i] for i in range(4, 8)])),
+            (-1, mem_msg(20, s[13], t[0:4])),
+            (-1, mem_msg(20, s[13] + 4, t[4:8])),
+        ]),
+        (flg["MPVERIFY"], [(-1, mpv_start), (-1, mpv_ret)]),
+        (flg["MRUPDATE"], [
+            (-1, mru_old_start), (-1, mru_old_ret),
+            (-1, mru_new_start), (-1, mru_new_ret),
+        ]),
         (flg["DYN"], [(-1, dyn_read), (-1, start_zero)]),
         (flg["DYNCALL"], [(-1, dyn_read), (-1, start_zero), (-1, fmp_write)]),
     ])

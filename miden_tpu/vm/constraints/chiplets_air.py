@@ -22,6 +22,7 @@ from .. import chiplets as C
 from .buses import (
     BUS_CHIPLET,
     BUS_RANGE,
+    BUS_SIBLING,
     BUS_WIRING_IN,
     BUS_WIRING_OUT,
     Challenges,
@@ -88,19 +89,47 @@ def chiplet_bus_columns(f):
     bnd = f.main(C.H_BND)
     hstate = [f.main(c) for c in C.H_STATE]
     cc = f.main(C.CHIP_CLK)
+    hm = f.main(C.H_HS2)
+    hidx = f.main(C.H_IDX)
+    hdir = f.main(C.H_DIR)
     is_input = hs0 * (1 - hs1)
     is_output = 1 - hs0
     start_msg = ch.msg(BUS_CHIPLET, [C.OP_HASH_START, cc, *hstate])
     absorb_msg = ch.msg(BUS_CHIPLET, [C.OP_HASH_ABSORB, cc, *hstate[:8]])
     ret_msg = ch.msg(BUS_CHIPLET, [C.OP_HASH_RETURN, cc, *hstate[:4]])
     retstate_msg = ch.msg(BUS_CHIPLET, [C.OP_HASH_RETSTATE, cc, *hstate])
+    # MP_VERIFY / MR_UPDATE_{OLD,NEW} start: the leaf sits in the rate
+    # half selected by the direction bit; the label encodes the leg
+    # (docs chiplets/hasher.md §merkle-path-verification)
+    mro = f.main(C.H_MRO)
+    mrn = f.main(C.H_MRN)
+    mrid = f.main(C.H_MRID)
+    leaf = [
+        hstate[i] + hdir * (hstate[4 + i] - hstate[i]) for i in range(4)
+    ]
+    mpv_msg = ch.msg(
+        BUS_CHIPLET,
+        [C.OP_HASH_MPVERIFY + 2 * mro + 4 * mrn, cc, *leaf, hidx, mrid],
+    )
     resp = mux(one, [
         (f_mem, [(1, mem_msg)]),
         (fb * (1 - k1), [(1, bw_msg)]),
-        (fh * is_input * bnd, [(1, start_msg)]),
-        (fh * is_input * (1 - bnd), [(1, absorb_msg)]),
+        (fh * is_input * bnd * (1 - hm), [(1, start_msg)]),
+        (fh * is_input * bnd * hm, [(1, mpv_msg)]),
+        (fh * is_input * (1 - bnd) * (1 - hm), [(1, absorb_msg)]),
         (fh * is_output * (1 - hs1) * bnd, [(1, ret_msg)]),
         (fh * is_output * hs1, [(1, retstate_msg)]),
+    ])
+    # sibling table (docs hasher.md §sibling-table-constraints): old-leg
+    # input rows insert (mrid, idx, dir, sibling); new-leg rows remove the
+    # same entry — balancing forces both legs onto identical siblings
+    sib = [
+        hstate[4 + i] + hdir * (hstate[i] - hstate[4 + i]) for i in range(4)
+    ]
+    sib_msg = ch.msg(BUS_SIBLING, [mrid, hidx, hdir, *sib])
+    sibling = mux(one, [
+        (fh * is_input * mro, [(1, sib_msg)]),
+        (fh * is_input * mrn, [(-1, sib_msg)]),
     ])
     # range-bus requests for the next row's delta limbs
     range_req = mux(one, [
@@ -130,12 +159,12 @@ def chiplet_bus_columns(f):
         (fh * is_input, [(1, ch.msg(BUS_WIRING_IN, [perm, *hstate]))]),
         (fh * is_output, [(1, ch.msg(BUS_WIRING_OUT, [perm, *hstate]))]),
     ])
-    return resp, range_req, wiring, krom
+    return resp, range_req, wiring, krom, sibling
 
 
 class ChipletsVmAir(Air):
     width = C.CHIPLETS_WIDTH
-    aux_width = 5  # acc | chiplet responses | range requests | wiring | krom
+    aux_width = 6  # acc | responses | range req | wiring | krom | siblings
     num_randomness = 2
     num_aux_values = 1
     num_public_values = 36  # shared statement publics (unused here)
@@ -328,21 +357,77 @@ class ChipletsVmAir(Air):
         A("trans", fh * is_input * (hpermn - hperm), "hash/perm_pair")
         A("trans", fh * is_pad * (1 - s0n) * (1 - is_pad_n), "hash/pad_stable")
         cont = fh * is_output * (1 - hbnd) * (1 - hs1)
+        hm = f.main(C.H_HS2)
+        hmn = f.main(C.H_HS2, 1)
         for i in range(8, 12):
             A(
                 "trans",
-                cont * (f.main(C.H_STATE[i], 1) - f.main(C.H_STATE[i])),
+                cont * (1 - hm)
+                * (f.main(C.H_STATE[i], 1) - f.main(C.H_STATE[i])),
                 f"hash/chain_cap{i}",
             )
         A("trans", cont * (is_pad_n + s0n), "hash/chain_next_input")
 
+        # ---- Merkle-path rows (m = 1) -------------------------------------
+        # docs chiplets/hasher.md §merkle-path-verification: each level is a
+        # 2-to-1 compression (zero capacity); the index halves per level with
+        # its low bit selecting which rate half carries the running node, and
+        # the digest chains into the dir-selected rate half of the next level
+        hidx = f.main(C.H_IDX)
+        hidxn = f.main(C.H_IDX, 1)
+        hdir = f.main(C.H_DIR)
+        hdirn = f.main(C.H_DIR, 1)
+        A("zero", fh * (hm * hm - hm), "hash/m_bin")
+        A("zero", fh * (hdir * hdir - hdir), "hash/dir_bin")
+        A("trans", fh * is_input * (hmn - hm), "hash/m_pair")
+        A(
+            "trans",
+            fh * is_input * hm * (hidx - 2 * hidxn - hdir),
+            "hash/idx_halve",
+        )
+        for i in range(8, 12):
+            A("zero", fh * is_input * hm * f.main(C.H_STATE[i]),
+              f"hash/merkle_cap{i}")
+        A("zero", fh * is_output * hm * hbnd * hidx, "hash/merkle_idx_final")
+        mcont = cont * hm
+        A("trans", mcont * (hmn - 1), "hash/merkle_cont")
+        A("trans", mcont * (hidxn - hidx), "hash/merkle_idx_chain")
+        A("trans", mcont * (hdirn - hdir), "hash/merkle_dir_chain")
+        # MRUPDATE leg flags: binary, exclusive, merkle-only, stable across
+        # the pair and along the leg together with the update id
+        mro = f.main(C.H_MRO)
+        mron = f.main(C.H_MRO, 1)
+        mrn_ = f.main(C.H_MRN)
+        mrnn = f.main(C.H_MRN, 1)
+        mrid = f.main(C.H_MRID)
+        mridn = f.main(C.H_MRID, 1)
+        A("zero", fh * (mro * mro - mro), "hash/mro_bin")
+        A("zero", fh * (mrn_ * mrn_ - mrn_), "hash/mrn_bin")
+        A("zero", fh * mro * mrn_, "hash/mr_exclusive")
+        A("zero", fh * (1 - hm) * (mro + mrn_), "hash/mr_merkle_only")
+        A("trans", fh * is_input * (mron - mro), "hash/mro_pair")
+        A("trans", fh * is_input * (mrnn - mrn_), "hash/mrn_pair")
+        A("trans", fh * is_input * (mridn - mrid), "hash/mrid_pair")
+        A("trans", mcont * (mron - mro), "hash/mro_chain")
+        A("trans", mcont * (mrnn - mrn_), "hash/mrn_chain")
+        A("trans", mcont * (mridn - mrid), "hash/mrid_chain")
+        for i in range(4):
+            cur = f.main(C.H_STATE[i])
+            r0n = f.main(C.H_STATE[i], 1)
+            r1n = f.main(C.H_STATE[4 + i], 1)
+            A(
+                "trans",
+                mcont * (r0n - cur + hdir * (r1n - r0n)),
+                f"hash/merkle_chain{i}",
+            )
+
         # ---- buses ---------------------------------------------------------
-        resp, range_req, wiring, krom = chiplet_bus_columns(f)
+        resp, range_req, wiring, krom, sibling = chiplet_bus_columns(f)
 
         acc = f.aux(0)
         accn = f.aux(0, 1)
         total = acc
-        for i, (V, U) in enumerate((resp, range_req, wiring, krom)):
+        for i, (V, U) in enumerate((resp, range_req, wiring, krom, sibling)):
             av = f.aux(1 + i)
             A("trans", U * av - V, f"bus/col{i}")
             total = total + av

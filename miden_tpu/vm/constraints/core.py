@@ -32,15 +32,16 @@ U32M = P2_32 - 1
 # opcodes executable by the VM but not yet constraint-covered; their flags
 # are forced to zero so the implemented subset stays sound
 FORBIDDEN_OPS = (
-    "FRIE2F4",
-    "MPVERIFY",
-    "HORNERBASE",
-    "HORNEREXT",
     "EVALCIRCUIT",
     "LOGDEFERRED",
-    "MRUPDATE",
-    "CRYPTOSTREAM",
 )
+
+# FRI fold-4 constants (docs crypto_ops.md §FRIE2F4; fri_ops/mod.rs):
+# τ = 2^48 generates the order-4 subgroup of the Goldilocks multiplicative
+# group; the fold uses τ^{-c} domain corrections
+FRI_TAU_INV = 18446462594437873665
+FRI_TAU2_INV = 18446744069414584320  # = -1
+FRI_TAU3_INV = 281474976710656  # = 2^48
 
 CTRL_OPS = (
     "JOIN", "SPLIT", "LOOP", "REPEAT", "SPAN", "RESPAN",
@@ -55,6 +56,103 @@ def _limb2(h, i):
 
 def _limb4(h):
     return h[0] + h[1] * P2_16 + h[2] * P2_32 + h[3] * P2_48
+
+
+def _horner_base(s, t, h):
+    """tmp0/tmp1/acc' identities over u² = 7 (docs crypto_ops.md
+    §HORNERBASE); helpers h = [α0, α1, tmp1_0, tmp1_1, tmp0_0, tmp0_1]."""
+    a0, a1 = h[0], h[1]
+    a2_0 = a0 * a0 + 7 * (a1 * a1)
+    a2_1 = 2 * (a0 * a1)
+    a3_0 = a0 * a2_0 + 7 * (a1 * a2_1)
+    a3_1 = a0 * a2_1 + a1 * a2_0
+    return [
+        (s[14] * a2_0 + s[15] * (7 * a2_1) + s[0] * a0 + s[1] - h[4],
+         "tmp0_0"),
+        (s[14] * a2_1 + s[15] * a2_0 + s[0] * a1 - h[5], "tmp0_1"),
+        (h[4] * a3_0 + h[5] * (7 * a3_1) + s[2] * a2_0 + s[3] * a0 + s[4]
+         - h[2], "tmp1_0"),
+        (h[4] * a3_1 + h[5] * a3_0 + s[2] * a2_1 + s[3] * a1 - h[3],
+         "tmp1_1"),
+        (h[2] * a3_0 + h[3] * (7 * a3_1) + s[5] * a2_0 + s[6] * a0 + s[7]
+         - t[14], "acc0"),
+        (h[2] * a3_1 + h[3] * a3_0 + s[5] * a2_1 + s[6] * a1 - t[15],
+         "acc1"),
+    ]
+
+
+def _horner_ext(s, t, h):
+    """tmp/acc' identities over u² = 7 (docs crypto_ops.md §HORNEREXT);
+    helpers h = [α0, α1, k0, k1, tmp_0, tmp_1]."""
+    a0, a1 = h[0], h[1]
+    a2_0 = a0 * a0 + 7 * (a1 * a1)
+    a2_1 = 2 * (a0 * a1)
+    return [
+        (s[14] * a2_0 + s[15] * (7 * a2_1) + s[0] * a0 + 7 * (s[1] * a1)
+         + s[2] - h[4], "tmp_0"),
+        (s[14] * a2_1 + s[15] * a2_0 + s[0] * a1 + s[1] * a0 + s[3] - h[5],
+         "tmp_1"),
+        (h[4] * a2_0 + h[5] * (7 * a2_1) + s[4] * a0 + 7 * (s[5] * a1)
+         + s[6] - t[14], "acc0"),
+        (h[4] * a2_1 + h[5] * a2_0 + s[4] * a1 + s[5] * a0 + s[7] - t[15],
+         "acc1"),
+    ]
+
+
+def _frie2f4(s, t, h):
+    """One factor-4 FRI fold (air/src/constraints/stack/crypto.rs:311
+    enforce_frie2f4_constraints): inputs [q0, q2, q1, q3 | folded_pos,
+    coset, poe, pe, α, layer_ptr]; the next row's s[0:8] are scratch
+    degree-reduction intermediates; helpers h = [ev, ev², x, 1/x]."""
+    # one-hot coset flags live in next-row scratch s'[4:7]
+    cf1, cf2, cf3 = t[4], t[5], t[6]
+    cf0 = 1 - cf1 - cf2 - cf3
+    out = [(c * c - c, f"coset_flag{i}") for i, c in
+           enumerate((cf0, cf1, cf2, cf3))]
+    out.append((s[9] - (cf1 + 2 * cf2 + 3 * cf3), "coset_value"))
+    # domain point x = poe·τ^{-coset}; 1/x witnessed in h[5]
+    tau = cf0 + FRI_TAU_INV * cf1 + FRI_TAU2_INV * cf2 + FRI_TAU3_INV * cf3
+    out.append((h[4] - s[10] * tau, "domain_point"))
+    out.append((h[4] * h[5] - 1, "domain_point_inv"))
+    # ev = α/x, es = ev²
+    out.append((h[0] - s[13] * h[5], "ev0"))
+    out.append((h[1] - s[14] * h[5], "ev1"))
+    out.append((h[2] - (h[0] * h[0] + 7 * (h[1] * h[1])), "es0"))
+    out.append((h[3] - 2 * (h[0] * h[1]), "es1"))
+
+    # 2·fold2(a, b, ep) = (a + b) + (a − b)·ep over u² = 7
+    def fold2_2x(a, b, ep, res, label):
+        d0, d1 = a[0] - b[0], a[1] - b[1]
+        out.append((
+            a[0] + b[0] + d0 * ep[0] + 7 * (d1 * ep[1]) - 2 * res[0],
+            f"{label}_0",
+        ))
+        out.append((
+            a[1] + b[1] + d0 * ep[1] + d1 * ep[0] - 2 * res[1],
+            f"{label}_1",
+        ))
+
+    ev = (h[0], h[1])
+    ev_tau = (FRI_TAU_INV * h[0], FRI_TAU_INV * h[1])
+    fold2_2x((s[0], s[1]), (s[2], s[3]), ev, (t[0], t[1]), "fold_mid0")
+    fold2_2x((s[4], s[5]), (s[6], s[7]), ev_tau, (t[2], t[3]), "fold_mid1")
+    fold2_2x((t[0], t[1]), (t[2], t[3]), (h[2], h[3]), (t[12], t[13]),
+             "fold_result")
+    # cross-layer consistency: pe = q_coset (stack order [q0, q2, q1, q3])
+    out.append((
+        s[11] - (s[0] * cf0 + s[4] * cf1 + s[2] * cf2 + s[6] * cf3), "pe0"
+    ))
+    out.append((
+        s[12] - (s[1] * cf0 + s[5] * cf1 + s[3] * cf2 + s[7] * cf3), "pe1"
+    ))
+    # loop state for the next layer
+    out.append((t[7] - s[10] * s[10], "poe_sq"))
+    out.append((t[10] - t[7] * t[7], "poe_4th"))
+    out.append((t[8] - (s[15] + 8), "layer_ptr"))
+    out.append((t[9] - (s[15] + 8), "layer_ptr_copy"))
+    out.append((t[14] - (s[15] + 8), "layer_ptr_fold"))
+    out.append((t[11] - s[8], "folded_pos"))
+    return out
 
 
 def _validity(h, lo, hi):
@@ -177,6 +275,30 @@ STACK_SPEC: dict = {
     # 12-lane state in/out via the hasher chiplet bus; helper[0] = the
     # controller address (crypto_ops.md HPERM)
     "HPERM": dict(no=range(12, 16)),
+    # [V, depth, index, R, ...] unchanged; the path opening is enforced by
+    # the MP_VERIFY / RETURN_HASH chiplet-bus pair (crypto_ops.md MPVERIFY)
+    "MPVERIFY": dict(no=range(0, 16)),
+    # [V_old, depth, index, R_old, V_new, ...] → [R_new, depth, index,
+    # R_old, V_new, ...]; both legs + sibling reuse enforced by the
+    # chiplet/sibling buses (crypto_ops.md MRUPDATE)
+    "MRUPDATE": dict(no=range(4, 16)),
+    # 8 Horner steps over base coefficients (crypto_ops.md §HORNERBASE):
+    # α = (h0, h1) bound by the memory bus; tmp0 = (h4, h5) and
+    # tmp1 = (h2, h3) are degree-reduction witnesses
+    "HORNERBASE": dict(no=range(0, 14), spec=lambda s, t, h, v: _horner_base(s, t, h)),
+    # 4 Horner steps over extension coefficients (crypto_ops.md
+    # §HORNEREXT): α word = (h0..h3), tmp = (h4, h5)
+    "HORNEREXT": dict(no=range(0, 14), spec=lambda s, t, h, v: _horner_ext(s, t, h)),
+    # factor-4 FRI fold; the opcode sits in the left-shift group so depth
+    # and overflow bookkeeping ride the composite shift flag
+    "FRIE2F4": dict(spec=lambda s, t, h, v: _frie2f4(s, t, h)),
+    # keystream add: ciphertext = plaintext + rate, bound through the
+    # memory bus reads/writes; both stream pointers advance by 8
+    # (crypto_ops.md §CRYPTOSTREAM)
+    "CRYPTOSTREAM": dict(no=(8, 9, 10, 11, 14, 15), spec=lambda s, t, h, v: [
+        (t[12] - (s[12] + 8), "src_ptr"),
+        (t[13] - (s[13] + 8), "dst_ptr"),
+    ]),
     # -- left-shift group ---------------------------------------------------
     "ASSERT": dict(left=range(1, 16), spec=lambda s, t, h, v: [(s[0] - 1, "assert")]),
     "EQ": dict(left=range(2, 16), spec=lambda s, t, h, v: [

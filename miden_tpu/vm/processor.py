@@ -43,6 +43,10 @@ from .ops import OPCODES, Op
 P = gl.P
 U32_MAX = 0xFFFFFFFF
 MIN_STACK_DEPTH = 16
+# FRI fold-4 constants (fri_ops/mod.rs:186-194): τ = 2^48 generates the
+# order-4 subgroup; τ⁻¹ and 2⁻¹ in Goldilocks
+FRI_TAU_INV = 18446462594437873665
+FRI_TWO_INV = 9223372034707292161
 
 
 class ExecutionError(Exception):
@@ -847,6 +851,115 @@ class Processor:
             addr = self.hasher.update_merkle_root(old, new_val, path, index)
             s[0:4] = list(new_root)
             return [addr, 0, 0, 0, 0, 0]
+        elif name == "HORNERBASE":
+            # 8 Horner steps with base-field coefficients c0..c7 = s[0..8]
+            # (c0 = highest degree); α read element-wise from mem[s[13]],
+            # acc at s[14:16]; helpers [α0, α1, tmp1, tmp0]
+            # (crypto_ops/mod.rs:273-337, docs crypto_ops.md §HORNERBASE)
+            addr = s[13]
+            a0 = self._mem_read_element(addr)
+            a1 = self._mem_read_element(addr + 1)
+            self.mem_log.append(("re", self.ctx, addr, self.clk, [a0]))
+            self.mem_log.append(("re", self.ctx, addr + 1, self.clk, [a1]))
+            alpha = (a0, a1)
+
+            def step(acc, c):
+                return gl.ext_add(gl.ext_mul(acc, alpha), (c % P, 0))
+
+            acc = (s[14], s[15])
+            tmp0 = step(step(acc, s[0]), s[1])
+            tmp1 = step(step(step(tmp0, s[2]), s[3]), s[4])
+            acc_new = step(step(step(tmp1, s[5]), s[6]), s[7])
+            s[14], s[15] = acc_new
+            return [a0, a1, tmp1[0], tmp1[1], tmp0[0], tmp0[1]]
+        elif name == "HORNEREXT":
+            # 4 Horner steps with extension coefficients c_i = (s[2i],
+            # s[2i+1]) (c0 = highest degree); α from the word at mem[s[13]]
+            # = [α0, α1, k0, k1]; helpers [α0, α1, k0, k1, tmp]
+            # (crypto_ops/mod.rs:383-446, docs crypto_ops.md §HORNEREXT)
+            addr = s[13]
+            word = list(self._mem_word(addr))
+            self.mem_log.append(("rw", self.ctx, addr, self.clk, word))
+            alpha = (word[0], word[1])
+
+            def stepe(acc, c):
+                return gl.ext_add(gl.ext_mul(acc, alpha), c)
+
+            acc = (s[14], s[15])
+            tmp = stepe(stepe(acc, (s[0], s[1])), (s[2], s[3]))
+            acc_new = stepe(stepe(tmp, (s[4], s[5])), (s[6], s[7]))
+            s[14], s[15] = acc_new
+            return [word[0], word[1], word[2], word[3], tmp[0], tmp[1]]
+        elif name == "FRIE2F4":
+            # One factor-4 FRI fold over QuadFelt with cross-layer
+            # consistency (fri_ops/mod.rs:47-140): leaf values in
+            # bit-reversed order [q0, q2, q1, q3] on s[0:8], then
+            # folded_pos, coset, poe, pe(2), alpha(2), layer_ptr
+            q_bitrev = [(s[0], s[1]), (s[2], s[3]), (s[4], s[5]), (s[6], s[7])]
+            folded_pos, coset, poe = s[8], s[9], s[10]
+            pe = (s[11], s[12])
+            alpha = (s[13], s[14])
+            layer_ptr = s[15]
+            if coset > 3:
+                raise ExecutionError(f"coset index {coset} exceeds 3")
+            if poe == 0:
+                raise ExecutionError("FRI domain size was 0")
+            q = [q_bitrev[0], q_bitrev[2], q_bitrev[1], q_bitrev[3]]
+            if q[coset] != pe:
+                raise ExecutionError(
+                    "degree-respecting projection is inconsistent"
+                )
+            x = poe * pow(FRI_TAU_INV, coset, P) % P
+            x_inv = gl.inv(x)
+            ev = gl.ext_mul_base(alpha, x_inv)
+            es = gl.ext_mul(ev, ev)
+
+            def fold2(a, b, ep):
+                su = gl.ext_add(a, b)
+                df = gl.ext_sub(a, b)
+                return gl.ext_mul_base(
+                    gl.ext_add(su, gl.ext_mul(df, ep)), FRI_TWO_INV
+                )
+
+            tmp0 = fold2(q[0], q[2], ev)
+            tmp1 = fold2(q[1], q[3], gl.ext_mul_base(ev, FRI_TAU_INV))
+            folded = fold2(tmp0, tmp1, es)
+            poe2 = poe * poe % P
+            nptr = (layer_ptr + 8) % P
+            self._drop()
+            s[0:2] = tmp0
+            s[2:4] = tmp1
+            s[4:7] = [1 if coset == i else 0 for i in (1, 2, 3)]
+            s[7] = poe2
+            s[8] = s[9] = nptr
+            s[10] = poe2 * poe2 % P
+            s[11] = folded_pos
+            s[12:14] = folded
+            s[14] = nptr
+            return [ev[0], ev[1], es[0], es[1], x, x_inv]
+        elif name == "CRYPTOSTREAM":
+            # AEAD keystream step: two plaintext words at mem[s12] plus the
+            # top-8 sponge rate → ciphertext words at mem[s13] and s[0:8];
+            # both pointers advance by 8 (crypto_ops/mod.rs:506-560)
+            src, dst = s[12], s[13]
+            if src < dst + 8 and dst < src + 8:
+                raise ExecutionError(
+                    f"crypto_stream src/dst ranges overlap ({src}, {dst})"
+                )
+            p1 = list(self._mem_word(src))
+            p2 = list(self._mem_word(src + 4))
+            self.mem_log.append(("rw", self.ctx, src, self.clk, p1))
+            self.mem_log.append(("rw", self.ctx, src + 4, self.clk, p2))
+            c1 = [(p1[i] + s[i]) % P for i in range(4)]
+            c2 = [(p2[i] + s[4 + i]) % P for i in range(4)]
+            self._mem_word(dst)[:] = c1
+            self._mem_word(dst + 4)[:] = c2
+            self.mem_log.append(("ww", self.ctx, dst, self.clk, c1))
+            self.mem_log.append(("ww", self.ctx, dst + 4, self.clk, c2))
+            s[0:4] = c1
+            s[4:8] = c2
+            s[12] = (src + 8) % P
+            s[13] = (dst + 8) % P
         else:
             raise ExecutionError(f"operation {name} not implemented yet")
         return None

@@ -101,3 +101,160 @@ def test_cli_compile_and_run(tmp_path):
     )
     assert out.returncode == 0
     assert out.stdout.splitlines()[-1].startswith("output stack: [6,")
+
+
+def test_prove_mtree_get():
+    # MPVERIFY end-to-end: mtree_get opens leaf 5 of an 8-leaf tree and
+    # proves the Merkle path through the hasher chiplet
+    # (tests/integration/operations/crypto_ops.rs mtree_get parity)
+    from miden_tpu.merkle import MerkleStore, MerkleTree
+    from miden_tpu.vm.processor import AdviceProvider
+
+    leaves = [(3 * i + 1, 0, i, 0) for i in range(8)]
+    tree = MerkleTree(leaves)
+    store = MerkleStore()
+    store.extend(tree.inner_nodes())
+    root = ".".join(str(x) for x in reversed(tree.root))
+    prog = assemble(
+        f"begin push.{root} push.5 push.3 mtree_get "
+        "movupw.2 dropw movupw.2 dropw end"
+    )
+    out, proof = prove_program(prog, advice=AdviceProvider(store=store))
+    assert out.stack[:4] == list(leaves[5])
+    assert out.stack[4:8] == list(tree.root)
+    verify_program(proof)
+
+
+def test_prove_mtree_set():
+    # MRUPDATE end-to-end: both Merkle legs prove through the hasher
+    # chiplet with sibling-table reuse enforcement
+    from miden_tpu.merkle import MerkleStore, MerkleTree
+    from miden_tpu.vm.processor import AdviceProvider
+
+    leaves = [(7 * i + 2, i, 0, 1) for i in range(8)]
+    tree = MerkleTree(leaves)
+    store = MerkleStore()
+    store.extend(tree.inner_nodes())
+    new_leaves = list(leaves)
+    new_leaves[6] = (99, 98, 97, 96)
+    expect_root = MerkleTree(new_leaves).root
+    root = ".".join(str(x) for x in reversed(tree.root))
+    newv = ".".join(str(x) for x in reversed(new_leaves[6]))
+    # mtree_set: [d, i, R_old, V_new, ...] → [R_new, V_old, ...]
+    prog = assemble(
+        f"begin push.{newv} push.{root} push.6 push.3 mtree_set "
+        "movupw.2 dropw movupw.2 dropw end"
+    )
+    out, proof = prove_program(prog, advice=AdviceProvider(store=store))
+    assert out.stack[:4] == list(leaves[6])
+    assert out.stack[4:8] == list(expect_root)
+    verify_program(proof)
+
+
+def test_prove_horner_eval():
+    # HORNERBASE + HORNEREXT: α word written to memory, 8 base + 4 ext
+    # Horner steps, accumulator checked against host extension arithmetic
+    from miden_tpu.field import gl
+    from miden_tpu.vm.mast import MastForest, Program
+    from miden_tpu.vm.ops import Op
+
+    alpha = (123456789, 987654321)
+    coef = [3, 1, 4, 1, 5, 9, 2, 6]
+    acc0 = (11, 22)
+
+    def step(acc, c):
+        return gl.ext_add(gl.ext_mul(acc, alpha), c)
+
+    acc = acc0
+    for c in coef:  # HORNERBASE: base coefficients, c0 = highest degree
+        acc = step(acc, (c, 0))
+    for j in range(4):  # HORNEREXT: ext coefficients (s2j, s2j+1)
+        acc = step(acc, (coef[2 * j], coef[2 * j + 1]))
+
+    ops = [
+        Op("PUSH", 77), Op("PUSH", 55),  # k1, k0 (unused word tail)
+        Op("PUSH", alpha[1]), Op("PUSH", alpha[0]),
+        Op("PUSH", 100), Op("MSTOREW"),
+        Op("DROP"), Op("DROP"), Op("DROP"), Op("DROP"),
+        Op("HORNERBASE"), Op("HORNEREXT"),
+    ]
+    forest = MastForest()
+    root = forest.add_block(ops)
+    forest.make_root(root)
+    prog = Program(forest, root)
+    stack_inputs = [*coef, 0, 0, 0, 0, 0, 100, *acc0]
+    out, proof = prove_program(prog, stack_inputs=stack_inputs)
+    assert (out.stack[14], out.stack[15]) == acc
+    verify_program(proof)
+
+
+@pytest.mark.parametrize("coset", [0, 1, 2, 3])
+def test_prove_fri_ext2fold4(coset):
+    # one factor-4 FRI fold per coset, checked against host extension
+    # arithmetic (miden-vm/tests/integration/operations/fri_ops.rs parity)
+    from miden_tpu.field import gl
+    from miden_tpu.vm.mast import MastForest, Program
+    from miden_tpu.vm.ops import Op
+    from miden_tpu.vm.processor import FRI_TAU_INV, FRI_TWO_INV
+
+    rng = __import__("random").Random(42 + coset)
+    v = [rng.randrange(gl.P) for _ in range(8)]  # [q0, q2, q1, q3] bitrev
+    f_pos, poe = rng.randrange(gl.P), rng.randrange(1, gl.P)
+    alpha = (rng.randrange(gl.P), rng.randrange(gl.P))
+    cptr = 24
+    q = [(v[0], v[1]), (v[4], v[5]), (v[2], v[3]), (v[6], v[7])]  # natural
+    pe = q[coset]
+    stack_inputs = [*v, f_pos, coset, poe, *pe, *alpha, cptr]
+
+    x = poe * pow(FRI_TAU_INV, coset, gl.P) % gl.P
+    ev = gl.ext_mul_base(alpha, gl.inv(x))
+    es = gl.ext_mul(ev, ev)
+
+    def fold2(a, b, ep):
+        return gl.ext_mul_base(
+            gl.ext_add(gl.ext_add(a, b), gl.ext_mul(gl.ext_sub(a, b), ep)),
+            FRI_TWO_INV,
+        )
+
+    folded = fold2(
+        fold2(q[0], q[2], ev),
+        fold2(q[1], q[3], gl.ext_mul_base(ev, FRI_TAU_INV)),
+        es,
+    )
+
+    forest = MastForest()
+    root = forest.add_block([Op("FRIE2F4")])
+    forest.make_root(root)
+    out, proof = prove_program(Program(forest, root), stack_inputs=stack_inputs)
+    st = out.stack
+    assert st[8] == st[9] == st[14] == cptr + 8
+    assert st[10] == pow(poe, 4, gl.P)
+    assert st[11] == f_pos
+    assert (st[12], st[13]) == folded
+    verify_program(proof)
+
+
+def test_prove_crypto_stream():
+    # CRYPTOSTREAM: plaintext at mem[40..48] + rate on the stack →
+    # ciphertext at mem[56..64] and s[0:8]; pointers advance by 8
+    from miden_tpu.field import gl
+    from miden_tpu.vm.mast import MastForest, Program
+    from miden_tpu.vm.ops import Op
+
+    rate = [10, 20, 30, 40, 50, 60, 70, 80]
+    p1, p2 = [5, 6, 7, 8], [9, 10, 11, 12]
+    ops = []
+    for addr, word in ((40, p1), (44, p2)):
+        ops += [Op("PUSH", v) for v in reversed(word)]
+        ops += [Op("PUSH", addr), Op("MSTOREW")]
+        ops += [Op("DROP")] * 4
+    ops.append(Op("CRYPTOSTREAM"))
+    forest = MastForest()
+    root = forest.add_block(ops)
+    forest.make_root(root)
+    stack_inputs = [*rate, 0, 0, 0, 0, 40, 56, 0, 0]
+    out, proof = prove_program(Program(forest, root), stack_inputs=stack_inputs)
+    expect = [(p + r) % gl.P for p, r in zip(p1 + p2, rate)]
+    assert out.stack[:8] == expect
+    assert out.stack[12] == 48 and out.stack[13] == 64
+    verify_program(proof)
