@@ -64,6 +64,24 @@ M_FSCW = 17
 K_MULT = 5  # syscall multiplicity (may be 0)
 K_ROOT = (6, 7, 8, 9)  # procedure digest
 
+# ACE payload (region s0 s1 s2 = 1, s3 = 0): 16 columns per
+# docs chiplets/ace.md §trace-layout; READ rows reuse A_ID2 for n_eval
+# (= N - 1), A_V21 for m1; the EVAL op column stores the signed op
+A_SSTART = 4
+A_SBLOCK = 5  # 0 = READ, 1 = EVAL
+A_CTX = 6
+A_PTR = 7
+A_CLK = 8
+A_OP = 9  # signed: -1 sub | 0 mul | +1 add
+A_ID0 = 10
+A_V0 = (11, 12)
+A_ID1 = 13
+A_V1 = (14, 15)
+A_ID2 = 16  # n_eval on READ rows
+A_V2 = (17, 18)  # (unused, m1) on READ rows
+A_M0 = 19
+ACE_MAX_ID = (1 << 30) - 1
+
 CHIP_CLK = 21
 
 # hasher controller payload (region s0 = 0)
@@ -103,6 +121,7 @@ OP_MEM_WRITE_WORD = 20
 OP_MEM_READ_WORD = 28
 OP_KERNEL_PROC_CALL = 16
 OP_KERNEL_PROC_INIT = 48
+OP_ACE_INIT = 8  # 1 + 0b0111 (chiplets/index.md §operation labels)
 
 
 def _pair(state, bnd_in, bnd_out, ret_state=0, merkle=0,
@@ -381,6 +400,75 @@ def build_memory_rows(mem_log: list) -> tuple[np.ndarray, list[int]]:
     return rows, range_requests
 
 
+def build_ace_rows(ace_log: list) -> np.ndarray:
+    """ACE chiplet sections (docs chiplets/ace.md): per evaluation, R READ
+    rows (one word = two nodes each) then N EVAL rows (one decoded gate
+    each); node ids descend from R·2 + N − 1 to 0; multiplicities count
+    each node's fan-out so the wire bus balances."""
+    from ..field import gl as _gl
+
+    sections = []
+    for ctx, ptr, clk, n_read_rows, n_eval, var_words, instrs in ace_log:
+        total = 2 * n_read_rows + n_eval
+        values: dict[int, tuple] = {}
+        mult: dict[int, int] = {i: 0 for i in range(total)}
+        decoded = []
+        nid = total - 1
+        for w in var_words:
+            values[nid] = (w[0], w[1])
+            values[nid - 1] = (w[2], w[3])
+            nid -= 2
+        for ins in instrs:
+            id_l = ins & ACE_MAX_ID
+            id_r = (ins >> 30) & ACE_MAX_ID
+            opv = ins >> 60
+            mult[id_l] += 1
+            mult[id_r] += 1
+            vl, vr = values[id_l], values[id_r]
+            v = (_gl.ext_sub, _gl.ext_mul, _gl.ext_add)[opv](vl, vr)
+            values[nid] = v
+            decoded.append((opv, id_l, id_r))
+            nid -= 1
+        rows = np.zeros((n_read_rows + n_eval, CHIPLETS_WIDTH), dtype=np.uint64)
+        rows[:, S0:S2 + 1] = 1
+        rows[:, S3] = 0
+        nid = total - 1
+        p = ptr
+        for r in range(n_read_rows):
+            row = rows[r]
+            row[A_SSTART] = 1 if r == 0 else 0
+            row[A_SBLOCK] = 0
+            row[A_CTX], row[A_PTR], row[A_CLK] = ctx, p, clk
+            row[A_ID0] = nid
+            row[A_V0[0]], row[A_V0[1]] = values[nid]
+            row[A_ID1] = nid - 1
+            row[A_V1[0]], row[A_V1[1]] = values[nid - 1]
+            row[A_ID2] = n_eval - 1
+            row[A_V2[1]] = mult[nid - 1]  # m1
+            row[A_M0] = mult[nid]
+            nid -= 2
+            p += 4
+        for k in range(n_eval):
+            row = rows[n_read_rows + k]
+            opv, id_l, id_r = decoded[k]
+            row[A_SBLOCK] = 1
+            row[A_CTX], row[A_PTR], row[A_CLK] = ctx, p, clk
+            row[A_OP] = (opv - 1) % P  # signed op
+            row[A_ID0] = nid
+            row[A_V0[0]], row[A_V0[1]] = values[nid]
+            row[A_ID1] = id_l
+            row[A_V1[0]], row[A_V1[1]] = values[id_l]
+            row[A_ID2] = id_r
+            row[A_V2[0]], row[A_V2[1]] = values[id_r]
+            row[A_M0] = mult[nid]
+            nid -= 1
+            p += 1
+        sections.append(rows)
+    if not sections:
+        return np.zeros((0, CHIPLETS_WIDTH), dtype=np.uint64)
+    return np.concatenate(sections, axis=0)
+
+
 def build_kernel_rows(kernel_digests, kernel_log: list) -> np.ndarray:
     """One row per declared kernel procedure with its syscall multiplicity
     (docs kernel_rom.md — all shape is enforced by the LogUp buses)."""
@@ -405,15 +493,20 @@ def build_chiplets_trace(
     mem_log: list,
     kernel_digests=(),
     kernel_log=(),
+    ace_log=(),
 ) -> tuple[np.ndarray, np.ndarray, list[int]]:
-    """Stack the chiplet regions (hasher | bitwise | memory | kernel ROM |
-    padding) into a power-of-two matrix; returns (chiplets, poseidon,
-    d-limb range-check requests)."""
+    """Stack the chiplet regions (hasher | bitwise | memory | ACE |
+    kernel ROM | padding) into a power-of-two matrix; returns (chiplets,
+    poseidon, d-limb range-check requests)."""
     hrows, cycles = build_hasher_rows(hasher_requests)
     bw = build_bitwise_rows(bitwise_log)
     mem, range_requests = build_memory_rows(mem_log)
+    ace = build_ace_rows(list(ace_log))
     krom = build_kernel_rows(kernel_digests, list(kernel_log))
-    used = hrows.shape[0] + bw.shape[0] + mem.shape[0] + krom.shape[0]
+    used = (
+        hrows.shape[0] + bw.shape[0] + mem.shape[0] + ace.shape[0]
+        + krom.shape[0]
+    )
     height = 1 << max(3, used.bit_length())
     if height == used:
         height <<= 1  # the last row must be padding
@@ -424,6 +517,8 @@ def build_chiplets_trace(
     o += bw.shape[0]
     m[o : o + mem.shape[0]] = mem
     o += mem.shape[0]
+    m[o : o + ace.shape[0]] = ace
+    o += ace.shape[0]
     m[o:used] = krom
     # padding region: all selectors 1
     m[used:, S0:S4 + 1] = 1

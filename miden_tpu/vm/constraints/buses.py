@@ -39,6 +39,8 @@ BUS_KERNEL = 6
 BUS_WIRING_IN = 7  # hasher controller ↔ Poseidon2 permutation link (inputs)
 BUS_WIRING_OUT = 8  # same, output states
 BUS_SIBLING = 9  # MRUPDATE sibling table (hasher-internal, sums to zero)
+BUS_ACE_WIRE = 10  # ACE evaluation-graph wiring (sums to zero per circuit)
+BUS_DEFERRED = 11  # LOGDEFERRED root chain (terminals are public boundary)
 
 NUM_FRACTION_COLUMNS = 4  # block_stack | block_hash+op_group | overflow | range
 AUX_WIDTH = 1 + NUM_FRACTION_COLUMNS
@@ -177,16 +179,24 @@ def core_bus_columns(f, fl):
         (f_dg, [(-1, ch.msg(BUS_OP_GROUP, [a, gc, group_removed]))]),
     ])
 
-    # ---- column 3: stack overflow table -------------------------------
+    # ---- column 3: stack overflow table + deferred-root chain ---------
+    # LOGDEFERRED threads the rolling deferred root: remove the previous
+    # root (helpers 1..5), insert the new one (next-row stack[0:4]); the
+    # zero/final terminals are public boundary terms in eval_external
+    # (air lookup/miden_air.rs:60-62)
     f_ov = (b0 - 16) * sh0
+    uh = [f.main(c) for c in L.USER_OP_HELPERS]
     overflow = mux(one, [
         (fl.shift_right, [(1, ch.msg(BUS_OVERFLOW, [clk, s[15], b1]))]),
         (fl.shift_left * f_ov, [(-1, ch.msg(BUS_OVERFLOW, [b1, t[15], b1n]))]),
         (flg["DYNCALL"] * f_ov, [(-1, ch.msg(BUS_OVERFLOW, [b1, t[15], h[5]]))]),
+        (flg["LOGDEFERRED"], [
+            (-1, ch.msg(BUS_DEFERRED, [uh[1], uh[2], uh[3], uh[4]])),
+            (1, ch.msg(BUS_DEFERRED, [t[0], t[1], t[2], t[3]])),
+        ]),
     ])
 
     # ---- column 4: range checker bus ----------------------------------
-    uh = [f.main(c) for c in L.USER_OP_HELPERS]
     response = (
         f.main(L.RC_MULT),
         ch.msg(BUS_RANGE, [f.main(L.RC_VALUE)]),
@@ -261,6 +271,14 @@ def core_bus_columns(f, fl):
         BUS_CHIPLET, [1, uh[0] + 4 * s[4] - 1, t[0], t[1], t[2], t[3]]
     )
     kernel_call = ch.msg(BUS_CHIPLET, [16, h[0], h[1], h[2], h[3]])
+    # LOGDEFERRED: permute [prev_root (helpers 1..5), stmt (s[4:8]),
+    # Tag::AND capacity]; full output state lands on t[0:12] like HPERM
+    logdef_start = ch.msg(
+        BUS_CHIPLET,
+        [3, uh[0], uh[1], uh[2], uh[3], uh[4],
+         s[4], s[5], s[6], s[7], 1, 0, 0],
+    )
+    logdef_ret = ch.msg(BUS_CHIPLET, [9, uh[0] + 1, *t[:12]])
 
     chiplet_req = mux(one, [
         (flg["MLOAD"], [(-1, mem_msg(12, s[0], [t[0]]))]),
@@ -292,6 +310,11 @@ def core_bus_columns(f, fl):
             (-1, mem_msg(12, s[13] + 1, [uh[1]])),
         ]),
         (flg["HORNEREXT"], [(-1, mem_msg(28, s[13], uh[0:4]))]),
+        # ACE circuit-evaluation delegation (chiplets/ace.md §chiplet-bus)
+        (flg["EVALCIRCUIT"], [
+            (-1, ch.msg(BUS_CHIPLET, [8, ctx, s[0], clk, s[1], s[2]])),
+        ]),
+        (flg["LOGDEFERRED"], [(-1, logdef_start), (-1, logdef_ret)]),
         # plaintext reads (ciphertext − rate) and ciphertext writes
         # (crypto_ops.md §CRYPTOSTREAM)
         (flg["CRYPTOSTREAM"], [

@@ -20,6 +20,7 @@ import numpy as np
 from ...stark.air import Air
 from .. import chiplets as C
 from .buses import (
+    BUS_ACE_WIRE,
     BUS_CHIPLET,
     BUS_RANGE,
     BUS_SIBLING,
@@ -111,6 +112,21 @@ def chiplet_bus_columns(f):
         BUS_CHIPLET,
         [C.OP_HASH_MPVERIFY + 2 * mro + 4 * mrn, cc, *leaf, hidx, mrid],
     )
+    # ACE section-start response (docs chiplets/ace.md §chiplet-bus):
+    # (ACE_INIT, ctx, ptr, clk, n_read, n_eval) with
+    # n_read = id0 - stored_n_eval and n_eval = stored + 1
+    s3 = f.main(C.S3)
+    f_ace = s0 * s1 * s2 * (1 - s3)
+    a_ss = f.main(C.A_SSTART)
+    a_ctx = f.main(C.A_CTX)
+    a_ptr = f.main(C.A_PTR)
+    a_clk = f.main(C.A_CLK)
+    a_id0 = f.main(C.A_ID0)
+    a_id2 = f.main(C.A_ID2)
+    ace_msg = ch.msg(
+        BUS_CHIPLET,
+        [C.OP_ACE_INIT, a_ctx, a_ptr, a_clk, a_id0 - a_id2, a_id2 + 1],
+    )
     resp = mux(one, [
         (f_mem, [(1, mem_msg)]),
         (fb * (1 - k1), [(1, bw_msg)]),
@@ -119,6 +135,7 @@ def chiplet_bus_columns(f):
         (fh * is_input * (1 - bnd) * (1 - hm), [(1, absorb_msg)]),
         (fh * is_output * (1 - hs1) * bnd, [(1, ret_msg)]),
         (fh * is_output * hs1, [(1, retstate_msg)]),
+        (f_ace * a_ss, [(1, ace_msg)]),
     ])
     # sibling table (docs hasher.md §sibling-table-constraints): old-leg
     # input rows insert (mrid, idx, dir, sibling); new-leg rows remove the
@@ -159,15 +176,48 @@ def chiplet_bus_columns(f):
         (fh * is_input, [(1, ch.msg(BUS_WIRING_IN, [perm, *hstate]))]),
         (fh * is_output, [(1, ch.msg(BUS_WIRING_OUT, [perm, *hstate]))]),
     ])
-    return resp, range_req, wiring, krom, sibling
+    # ---- ACE wire bus + memory requests (docs chiplets/ace.md) --------
+    a_sb = f.main(C.A_SBLOCK)
+    a_op = f.main(C.A_OP)
+    a_v0 = [f.main(c) for c in C.A_V0]
+    a_id1 = f.main(C.A_ID1)
+    a_v1 = [f.main(c) for c in C.A_V1]
+    a_v2 = [f.main(c) for c in C.A_V2]
+    a_m0 = f.main(C.A_M0)
+    # wire bus: READ rows insert nodes (id0, id1) with fan-out counts
+    # (m0, m1); EVAL rows insert id0 and consume (id1, id2)
+    w0 = ch.msg(BUS_ACE_WIRE, [a_ctx, a_clk, a_id0, *a_v0])
+    w1 = ch.msg(BUS_ACE_WIRE, [a_ctx, a_clk, a_id1, *a_v1])
+    w2 = ch.msg(BUS_ACE_WIRE, [a_ctx, a_clk, a_id2, *a_v2])
+    e1 = (1 - a_sb) * a_v2[1] - a_sb  # m1 sits in the A_V2[1] column
+    wire = mux(one, [
+        (f_ace, [(a_m0, w0), (e1, w1), (-a_sb, w2)]),
+    ])
+    # memory requests: one word (two nodes) per READ row, one packed
+    # instruction element per EVAL row
+    instr = a_id1 + (1 << 30) * a_id2 + (1 << 60) * (a_op + 1)
+    ace_read_msg = ch.msg(
+        BUS_CHIPLET,
+        [C.OP_MEM_READ_WORD, a_ctx, a_ptr, a_clk, *a_v0, *a_v1],
+    )
+    ace_instr_msg = ch.msg(
+        BUS_CHIPLET, [C.OP_MEM_READ_ELEMENT, a_ctx, a_ptr, a_clk, instr]
+    )
+    ace_mem = mux(one, [
+        (f_ace * (1 - a_sb), [(-1, ace_read_msg)]),
+        (f_ace * a_sb, [(-1, ace_instr_msg)]),
+    ])
+    return resp, range_req, wiring, krom, sibling, wire, ace_mem
 
 
 class ChipletsVmAir(Air):
     width = C.CHIPLETS_WIDTH
-    aux_width = 6  # acc | responses | range req | wiring | krom | siblings
+    # acc | responses | range req | wiring | krom | siblings | ace wire |
+    # ace memory requests
+    aux_width = 8
     num_randomness = 2
     num_aux_values = 1
-    num_public_values = 36  # shared statement publics (unused here)
+    num_public_values = 40  # shared statement publics (unused here)
     periodic_columns = (
         (1, 0, 0, 0, 0, 0, 0, 0),  # k0: first row of each 8-row cycle
         (1, 1, 1, 1, 1, 1, 1, 0),  # k1: all but the last row of each cycle
@@ -421,13 +471,91 @@ class ChipletsVmAir(Air):
                 f"hash/merkle_chain{i}",
             )
 
+        # ---- ACE chiplet (docs chiplets/ace.md §constraints) --------------
+        f_ace = s0 * s1 * s2 * (1 - s3)
+        f_ace_n = s0n * s1n * s2n * (1 - s3n)
+        a_ss = f.main(C.A_SSTART)
+        a_ssn = f.main(C.A_SSTART, 1)
+        a_sb = f.main(C.A_SBLOCK)
+        a_sbn = f.main(C.A_SBLOCK, 1)
+        f_read = 1 - a_sb
+        f_eval = a_sb
+        # region boundary flags: f_next = both rows in ACE and same
+        # section; f_end = section's (or region's) final row
+        f_ace_next = f_ace * (1 - s3n)
+        f_next = f_ace_next * (1 - a_ssn)
+        f_end = f_ace_next * a_ssn + f_ace * s3n
+        A("zero", f_ace * (a_ss * a_ss - a_ss), "ace/sstart_bin")
+        A("zero", f_ace * (a_sb * a_sb - a_sb), "ace/sblock_bin")
+        A("first", f_ace * (1 - a_ss), "ace/first_row_start")
+        A("trans", (1 - f_ace) * f_ace_n * (1 - a_ssn), "ace/region_start")
+        A("trans", f_ace * s3n * a_ss, "ace/last_not_start")
+        A("trans", f_ace_next * a_ss * a_ssn, "ace/min_two_rows")
+        # block layout: sections open with READ, close with EVAL
+        A("zero", f_ace * a_ss * a_sb, "ace/start_is_read")
+        A("trans", f_next * f_eval * (1 - a_sbn), "ace/no_read_after_eval")
+        A("trans", f_end * f_read, "ace/end_is_eval")
+        a_ctx = f.main(C.A_CTX)
+        a_ptr = f.main(C.A_PTR)
+        a_clk = f.main(C.A_CLK)
+        a_op = f.main(C.A_OP)
+        a_id0 = f.main(C.A_ID0)
+        a_id0n = f.main(C.A_ID0, 1)
+        a_id1 = f.main(C.A_ID1)
+        a_id2 = f.main(C.A_ID2)
+        a_id2n = f.main(C.A_ID2, 1)
+        a_v0 = [f.main(c) for c in C.A_V0]
+        a_v1 = [f.main(c) for c in C.A_V1]
+        a_v2 = [f.main(c) for c in C.A_V2]
+        # READ→EVAL switch when the next id0 reaches the stored n_eval
+        A(
+            "trans",
+            f_ace * f_read
+            * ((1 - a_sbn) * a_id2n + a_sbn * a_id0n - a_id2),
+            "ace/read_switch",
+        )
+        # section invariants: constant (ctx, clk); ptr += 4 (READ) or 1
+        # (EVAL); id0 -= 2 (READ) or 1 (EVAL)
+        A("trans", f_next * (f.main(C.A_CTX, 1) - a_ctx), "ace/ctx_const")
+        A("trans", f_next * (f.main(C.A_CLK, 1) - a_clk), "ace/clk_const")
+        A(
+            "trans",
+            f_next * (f.main(C.A_PTR, 1) - a_ptr - 4 * f_read - f_eval),
+            "ace/ptr_step",
+        )
+        A(
+            "trans",
+            f_next * (a_id0 - a_id0n - 2 * f_read - f_eval),
+            "ace/id0_step",
+        )
+        # READ rows create consecutive node ids
+        A("zero", f_ace * f_read * (a_id1 - a_id0 + 1), "ace/read_ids")
+        # EVAL: op ∈ {-1, 0, 1} and v0 = op²·(v1 + op·v2) + (1-op²)·v1·v2
+        A("zero", f_ace * f_eval * a_op * (a_op * a_op - 1), "ace/op_valid")
+        op2 = a_op * a_op
+        vout0 = op2 * (a_v1[0] + a_op * a_v2[0]) + (1 - op2) * (
+            a_v1[0] * a_v2[0] + 7 * (a_v1[1] * a_v2[1])
+        )
+        vout1 = op2 * (a_v1[1] + a_op * a_v2[1]) + (1 - op2) * (
+            a_v1[0] * a_v2[1] + a_v1[1] * a_v2[0]
+        )
+        A("zero", f_ace * f_eval * (a_v0[0] - vout0), "ace/vout0")
+        A("zero", f_ace * f_eval * (a_v0[1] - vout1), "ace/vout1")
+        # final node: id 0 with value 0
+        A("trans", f_end * a_id0, "ace/end_id0")
+        A("trans", f_end * a_v0[0], "ace/end_v0_0")
+        A("trans", f_end * a_v0[1], "ace/end_v0_1")
+
         # ---- buses ---------------------------------------------------------
-        resp, range_req, wiring, krom, sibling = chiplet_bus_columns(f)
+        (resp, range_req, wiring, krom, sibling, wire,
+         ace_mem) = chiplet_bus_columns(f)
 
         acc = f.aux(0)
         accn = f.aux(0, 1)
         total = acc
-        for i, (V, U) in enumerate((resp, range_req, wiring, krom, sibling)):
+        for i, (V, U) in enumerate(
+            (resp, range_req, wiring, krom, sibling, wire, ace_mem)
+        ):
             av = f.aux(1 + i)
             A("trans", U * av - V, f"bus/col{i}")
             total = total + av

@@ -12,7 +12,8 @@ layer. Opcodes whose semantics are not yet constrained (crypto/stream
 ops) are *forbidden*: their flags are constrained to zero, keeping the
 implemented subset sound.
 
-Public values layout: [stack_in(16), stack_out(16), program_hash(4)].
+Public values layout: [stack_in(16), stack_out(16), program_hash(4),
+deferred_root(4)].
 """
 
 from __future__ import annotations
@@ -29,12 +30,9 @@ P2_32 = 1 << 32
 P2_48 = 1 << 48
 U32M = P2_32 - 1
 
-# opcodes executable by the VM but not yet constraint-covered; their flags
-# are forced to zero so the implemented subset stays sound
-FORBIDDEN_OPS = (
-    "EVALCIRCUIT",
-    "LOGDEFERRED",
-)
+# opcodes whose flags would be forced to zero if not yet constraint-
+# covered — every executable opcode now is, so the list is empty
+FORBIDDEN_OPS = ()
 
 # FRI fold-4 constants (docs crypto_ops.md §FRIE2F4; fri_ops/mod.rs):
 # τ = 2^48 generates the order-4 subgroup of the Goldilocks multiplicative
@@ -292,6 +290,14 @@ STACK_SPEC: dict = {
     # factor-4 FRI fold; the opcode sits in the left-shift group so depth
     # and overflow bookkeeping ride the composite shift flag
     "FRIE2F4": dict(spec=lambda s, t, h, v: _frie2f4(s, t, h)),
+    # [ptr, n_read, n_eval, ...] unchanged; the whole circuit evaluation
+    # is delegated to the ACE chiplet via the ACE_INIT bus message
+    # (crypto_ops.md §EVALCIRCUIT, chiplets/ace.md)
+    "EVALCIRCUIT": dict(no=range(0, 16)),
+    # deferred-root fold: 12-lane hasher output on t[0:12] (bus-bound),
+    # root chain threaded through the deferred bus (crypto_ops.md
+    # §LOGDEFERRED)
+    "LOGDEFERRED": dict(no=range(12, 16)),
     # keystream add: ciphertext = plaintext + rate, bound through the
     # memory bus reads/writes; both stream pointers advance by 8
     # (crypto_ops.md §CRYPTOSTREAM)
@@ -408,7 +414,7 @@ class CoreVmAir(Air):
     aux_width = 6
     num_randomness = 2
     num_aux_values = 1
-    num_public_values = 36  # stack_in(16) | stack_out(16) | program_hash(4)
+    num_public_values = 40  # stack_in(16) | stack_out(16) | program_hash(4) | deferred_root(4)
 
     def eval(self, f) -> None:  # noqa: C901
         fl = OpFlags(f)

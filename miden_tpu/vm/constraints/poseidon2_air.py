@@ -98,7 +98,7 @@ class Poseidon2PermutationAir(Air):
     aux_width = 2  # accumulator + wiring column
     num_randomness = 2
     num_aux_values = 1
-    num_public_values = 36
+    num_public_values = 40
     periodic_columns = (
         *_periodic_round_constants(),  # 0..11
         _sel({0}),  # 12: row 0

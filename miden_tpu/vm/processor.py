@@ -47,6 +47,8 @@ MIN_STACK_DEPTH = 16
 # order-4 subgroup; τ⁻¹ and 2⁻¹ in Goldilocks
 FRI_TAU_INV = 18446462594437873665
 FRI_TWO_INV = 9223372034707292161
+# ACE node ids are 30-bit (trace/chiplets/ace/instruction.rs:5-9)
+ACE_MAX_ID = (1 << 30) - 1
 
 
 class ExecutionError(Exception):
@@ -226,6 +228,12 @@ class Processor:
         self.mem_log: list[tuple] = []
         self.bitwise_log: list[tuple] = []  # (is_xor, a, b, result)
         self.kernel_log: list[tuple] = []  # accessed kernel proc digests
+        # (ctx, ptr, clk, num_read_rows, num_eval_rows, var_words, instrs)
+        self.ace_log: list[tuple] = []
+        # deferred precompile claims: AND-chain root over statement digests
+        # (core/src/deferred/node.rs Tag::AND; TRUE_DIGEST = zero root)
+        self.deferred_root: tuple = (0, 0, 0, 0)
+        self.deferred_log: list[tuple] = []  # (statement_digest, new_root)
         self.tracer.attach(self)
 
     # -- stack helpers ------------------------------------------------------
@@ -960,6 +968,74 @@ class Processor:
             s[4:8] = c2
             s[12] = (src + 8) % P
             s[13] = (dst + 8) % P
+        elif name == "EVALCIRCUIT":
+            # [ptr, num_read, num_eval, ...]: evaluate the arithmetic
+            # circuit at mem[ptr] via the ACE chiplet and assert the
+            # result is zero; stack unchanged
+            # (execution/operations/eval_circuit.rs:31-110)
+            ptr, num_vars, num_eval = s[0], s[1], s[2]
+            if num_vars == 0 or num_vars % 2:
+                raise ExecutionError(
+                    f"ACE variable count must be even and non-zero: {num_vars}"
+                )
+            if num_eval == 0 or num_eval % 4:
+                raise ExecutionError(
+                    f"ACE gate count must be word-aligned and non-zero: {num_eval}"
+                )
+            total = num_vars + num_eval
+            if total > ACE_MAX_ID:
+                raise ExecutionError(f"ACE wire count {total} exceeds 2^30-1")
+            values: dict[int, tuple[int, int]] = {}
+            nid = total - 1
+            p = ptr
+            var_words, instrs = [], []
+            for _ in range(num_vars // 2):
+                w = list(self._mem_word(p))
+                self.mem_log.append(("rw", self.ctx, p, self.clk, w))
+                var_words.append(w)
+                values[nid] = (w[0], w[1])
+                values[nid - 1] = (w[2], w[3])
+                nid -= 2
+                p += 4
+            for _ in range(num_eval):
+                ins = self._mem_read_element(p)
+                self.mem_log.append(("re", self.ctx, p, self.clk, [ins]))
+                instrs.append(ins)
+                id_l = ins & ACE_MAX_ID
+                id_r = (ins >> 30) & ACE_MAX_ID
+                opv = ins >> 60
+                if opv > 2 or id_l <= nid or id_r <= nid or max(id_l, id_r) >= total:
+                    raise ExecutionError(f"invalid ACE instruction {ins}")
+                vl, vr = values[id_l], values[id_r]
+                if opv == 0:
+                    v = gl.ext_sub(vl, vr)
+                elif opv == 1:
+                    v = gl.ext_mul(vl, vr)
+                else:
+                    v = gl.ext_add(vl, vr)
+                values[nid] = v
+                nid -= 1
+                p += 1
+            if values[0] != (0, 0):
+                raise ExecutionError("ACE circuit does not evaluate to zero")
+            self.ace_log.append(
+                (self.ctx, ptr, self.clk, num_vars // 2, num_eval,
+                 var_words, instrs)
+            )
+        elif name == "LOGDEFERRED":
+            # fold the statement digest at s[4:8] into the rolling deferred
+            # root: root' = Poseidon2([root, stmt, Tag::AND])[rate0]; the
+            # full output state lands on s[0:12] like HPERM
+            # (crypto_ops/mod.rs:459-500)
+            stmt = [s[4], s[5], s[6], s[7]]
+            prev = list(self.deferred_root)
+            state = [*prev, *stmt, 1, 0, 0, 0]
+            addr = self.hasher.permute(state)
+            out = hp.permute(state)
+            self.deferred_root = tuple(out[0:4])
+            self.deferred_log.append((tuple(stmt), self.deferred_root))
+            s[0:12] = out
+            return [addr, *prev, 0]
         else:
             raise ExecutionError(f"operation {name} not implemented yet")
         return None

@@ -45,9 +45,10 @@ class VmProof:
     stack_outputs: list[int]  # 16 values, top first
     kernel_digests: tuple
     stark: Proof
+    deferred_root: tuple = (0, 0, 0, 0)
 
     MAGIC = b"MVMP"
-    VERSION = 1
+    VERSION = 2
 
     def to_bytes(self) -> bytes:
         import struct
@@ -58,6 +59,8 @@ class VmProof:
         out += self.MAGIC
         out += struct.pack("<I", self.VERSION)
         for v in self.program_hash:
+            out += struct.pack("<Q", v % gl.P)
+        for v in self.deferred_root:
             out += struct.pack("<Q", v % gl.P)
         for v in self.stack_inputs:
             out += struct.pack("<Q", v % gl.P)
@@ -92,6 +95,7 @@ class VmProof:
             return list(vals)
 
         ph = tuple(read_felts(4))
+        dr = tuple(read_felts(4))
         sin = read_felts(16)
         sout = read_felts(16)
         (n_kernel,) = struct.unpack_from("<I", data, off)
@@ -99,7 +103,10 @@ class VmProof:
         if n_kernel > 4096:
             raise ProofFormatError("implausible kernel size")
         kernel = tuple(tuple(read_felts(4)) for _ in range(n_kernel))
-        return cls(ph, sin, sout, kernel, proof_from_bytes(data[off:]))
+        return cls(
+            ph, sin, sout, kernel, proof_from_bytes(data[off:]),
+            deferred_root=dr,
+        )
 
 
 class VmMultiAir(MultiAir):
@@ -109,46 +116,62 @@ class VmMultiAir(MultiAir):
     docs kernel_rom.md) must sum to zero — the STARK analog of
     MidenMultiAir::eval_external (air/src/lib.rs)."""
 
-    def __init__(self, airs, kernel_digests=()):
+    def __init__(self, airs, kernel_digests=(), deferred_root=(0, 0, 0, 0)):
         super().__init__(airs)
         self.kernel_digests = tuple(tuple(d) for d in kernel_digests)
+        self.deferred_root = tuple(v % gl.P for v in deferred_root)
 
     def eval_external(self, randomness, aux_values, log_heights):
         from .chiplets import OP_KERNEL_PROC_INIT
-        from .constraints.buses import BUS_CHIPLET, W
+        from .constraints.buses import BUS_CHIPLET, BUS_DEFERRED, W
 
         total = (0, 0)
         for vals in aux_values:
             for v in vals:
                 total = gl.ext_add(total, (int(v[0]), int(v[1])))
-        if self.kernel_digests:
-            alpha = tuple(int(x) for x in randomness[0])
-            beta = tuple(int(x) for x in randomness[1])
-            beta_pows = [(1, 0)]
-            for _ in range(W):
-                beta_pows.append(gl.ext_mul(beta_pows[-1], beta))
-            prefix = gl.ext_add(
-                alpha, gl.ext_mul_base(beta_pows[W], BUS_CHIPLET + 1)
+        alpha = tuple(int(x) for x in randomness[0])
+        beta = tuple(int(x) for x in randomness[1])
+        beta_pows = [(1, 0)]
+        for _ in range(W):
+            beta_pows.append(gl.ext_mul(beta_pows[-1], beta))
+
+        def msg(bus, elems):
+            d = gl.ext_add(alpha, gl.ext_mul_base(beta_pows[W], bus + 1))
+            for i, e in enumerate(elems):
+                d = gl.ext_add(d, gl.ext_mul_base(beta_pows[i], e % gl.P))
+            return d
+
+        for digest in self.kernel_digests:
+            total = gl.ext_add(
+                total,
+                gl.ext_inv(msg(BUS_CHIPLET, [OP_KERNEL_PROC_INIT, *digest])),
             )
-            for digest in self.kernel_digests:
-                d = gl.ext_add(
-                    prefix, gl.ext_mul_base(beta_pows[0], OP_KERNEL_PROC_INIT)
-                )
-                for i, e in enumerate(digest):
-                    d = gl.ext_add(d, gl.ext_mul_base(beta_pows[1 + i], e % gl.P))
-                total = gl.ext_add(total, gl.ext_inv(d))
+        # deferred-root chain terminals (air lookup/miden_air.rs:60-62):
+        # +1/d(zero root) - 1/d(final root); cancel when no LOGDEFERRED ran
+        if any(self.deferred_root):
+            total = gl.ext_add(
+                total, gl.ext_inv(msg(BUS_DEFERRED, [0, 0, 0, 0]))
+            )
+            total = gl.ext_sub(
+                total, gl.ext_inv(msg(BUS_DEFERRED, list(self.deferred_root)))
+            )
         return [total]
 
 
 def _statement(
-    program_hash, stack_inputs, stack_outputs, kernel_digests=()
+    program_hash, stack_inputs, stack_outputs, kernel_digests=(),
+    deferred_root=(0, 0, 0, 0),
 ) -> Statement:
-    publics = list(stack_inputs) + list(stack_outputs) + list(program_hash)
-    assert len(publics) == 36
+    publics = (
+        list(stack_inputs) + list(stack_outputs) + list(program_hash)
+        + list(deferred_root)
+    )
+    assert len(publics) == 40
     return Statement(
         VmMultiAir(
             [CoreVmAir(), ChipletsVmAir(), Poseidon2PermutationAir()],
             kernel_digests,
+            deferred_root,
         ),
         publics,
         aux_inputs=[e % gl.P for d in kernel_digests for e in d],
@@ -171,6 +194,7 @@ def prove_program(
         trace.stack_inputs,
         trace.stack_outputs,
         trace.kernel_digests,
+        trace.deferred_root,
     )
     res = prove(
         params,
@@ -184,6 +208,7 @@ def prove_program(
         stack_outputs=list(trace.stack_outputs),
         kernel_digests=tuple(trace.kernel_digests),
         stark=res.proof,
+        deferred_root=tuple(trace.deferred_root),
     )
 
 
@@ -201,6 +226,7 @@ def verify_program(proof: VmProof, params: PcsParams = MIDEN_PARAMS) -> None:
         proof.stack_inputs,
         proof.stack_outputs,
         proof.kernel_digests,
+        proof.deferred_root,
     )
     from ..transcript.challenger import TranscriptError
 

@@ -73,6 +73,7 @@ class CoreTrace:
     stack_inputs: list[int]
     stack_outputs: list[int]
     kernel_digests: tuple = ()
+    deferred_root: tuple = (0, 0, 0, 0)
     hasher_requests: list = field(default_factory=list)
     mem_log: list = field(default_factory=list)
     bitwise_log: list = field(default_factory=list)
@@ -325,6 +326,7 @@ class TraceBuilder:
             p.mem_log,
             program.kernel_digests,
             p.kernel_log,
+            p.ace_log,
         )
 
         # 16-bit range-check requests: every u32rc-flagged row (opcode prefix
@@ -399,6 +401,7 @@ class TraceBuilder:
             stack_inputs=self.stack_inputs,
             stack_outputs=stack_out,
             kernel_digests=tuple(program.kernel_digests),
+            deferred_root=tuple(p.deferred_root),
             hasher_requests=list(p.hasher.requests),
             mem_log=list(getattr(p, "mem_log", [])),
             bitwise_log=list(getattr(p, "bitwise_log", [])),

@@ -258,3 +258,90 @@ def test_prove_crypto_stream():
     assert out.stack[:8] == expect
     assert out.stack[12] == 48 and out.stack[13] == 64
     verify_program(proof)
+
+
+def test_prove_eval_circuit():
+    # EVALCIRCUIT: a 6-node circuit ((a-b) squared thrice, a = b) proven
+    # through the ACE chiplet with wire-bus + memory binding
+    from miden_tpu.vm.mast import MastForest, Program
+    from miden_tpu.vm.ops import Op
+
+    a = b = (3, 5)
+    # ids descend: a=5, b=4, gates output 3, 2, 1, 0
+    instrs = [
+        5 + (4 << 30) + (0 << 60),  # id3 = a - b = 0
+        3 + (3 << 30) + (1 << 60),  # id2 = id3 * id3
+        2 + (2 << 30) + (1 << 60),  # id1 = id2 * id2
+        1 + (1 << 30) + (1 << 60),  # id0 = id1 * id1 (= 0)
+    ]
+    ops = []
+    for addr, word in ((200, [*a, *b]), (204, instrs)):
+        ops += [Op("PUSH", v) for v in reversed(word)]
+        ops += [Op("PUSH", addr), Op("MSTOREW")]
+        ops += [Op("DROP")] * 4
+    ops.append(Op("EVALCIRCUIT"))
+    forest = MastForest()
+    root = forest.add_block(ops)
+    forest.make_root(root)
+    stack_inputs = [200, 2, 4] + [0] * 13
+    out, proof = prove_program(Program(forest, root), stack_inputs=stack_inputs)
+    assert out.stack[:3] == [200, 2, 4]
+    verify_program(proof)
+
+
+def test_eval_circuit_nonzero_rejected():
+    from miden_tpu.vm.mast import MastForest, Program
+    from miden_tpu.vm.ops import Op
+    from miden_tpu.vm.processor import ExecutionError, execute
+
+    instrs = [
+        5 + (4 << 30) + (0 << 60),
+        3 + (3 << 30) + (1 << 60),
+        2 + (2 << 30) + (1 << 60),
+        1 + (1 << 30) + (1 << 60),
+    ]
+    ops = []
+    for addr, word in ((200, [3, 5, 3, 6]), (204, instrs)):  # a != b
+        ops += [Op("PUSH", v) for v in reversed(word)]
+        ops += [Op("PUSH", addr), Op("MSTOREW")]
+        ops += [Op("DROP")] * 4
+    ops.append(Op("EVALCIRCUIT"))
+    forest = MastForest()
+    root = forest.add_block(ops)
+    forest.make_root(root)
+    with pytest.raises(ExecutionError):
+        execute(Program(forest, root), [200, 2, 4] + [0] * 13)
+
+
+def test_prove_log_deferred():
+    # LOGDEFERRED: two statement digests folded into the AND-chain
+    # deferred root; the proof claim carries the final root and the
+    # chain bus + boundary terminals enforce it
+    from miden_tpu.hash import poseidon2_host as hp
+    from miden_tpu.vm.mast import MastForest, Program
+    from miden_tpu.vm.ops import Op
+
+    stmts = [(11, 12, 13, 14), (21, 22, 23, 24)]
+    root = (0, 0, 0, 0)
+    for stmt in stmts:
+        root = tuple(hp.permute([*root, *stmt, 1, 0, 0, 0])[0:4])
+
+    ops = []
+    for stmt in stmts:
+        # place the statement at s[4:8]: push 8 values (stmt below 4 pads)
+        ops += [Op("PUSH", v) for v in reversed(stmt)]
+        ops += [Op("PUSH", 0)] * 4
+        ops.append(Op("LOGDEFERRED"))
+        ops += [Op("DROP")] * 8  # drop the 12-lane output top
+    forest = MastForest()
+    r = forest.add_block(ops)
+    forest.make_root(r)
+    out, proof = prove_program(Program(forest, r))
+    assert proof.deferred_root == root
+    verify_program(proof)
+    # tampering with the claimed deferred root must fail
+    import dataclasses
+
+    bad = dataclasses.replace(proof, deferred_root=(9, 9, 9, 9))
+    with pytest.raises(VerificationError):
+        verify_program(bad)
