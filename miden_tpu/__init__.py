@@ -1,8 +1,9 @@
 """miden_tpu: TPU-native STARK proving framework for the Miden VM pipeline.
 
-Built from scratch in JAX/XLA (Pallas for hot kernels): Goldilocks field as
-packed 32-bit limb arrays, batched Poseidon2, radix-2 NTT/LDE, lifted Merkle
-commitments, and the full lifted-STARK prover/verifier.
+Built from scratch in JAX/XLA: Goldilocks field as packed 32-bit limb
+arrays, batched Poseidon2, radix-2 NTT/LDE, lifted Merkle commitments, a
+device-resident Fiat-Shamir challenger, and the full lifted-STARK
+prover/verifier.
 """
 
 import os as _os

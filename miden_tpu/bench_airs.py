@@ -29,6 +29,7 @@ class CoreShapedAir(Air):
     num_randomness = 2
     num_aux_values = 8
     num_public_values = 32
+    aux_on_device = True  # build_aux_trace accepts device Fp2 randomness
 
     def eval(self, f):
         w = self.width
@@ -54,19 +55,15 @@ class CoreShapedAir(Air):
 
     def build_aux_trace(self, main, publics, aux_inputs, randomness):
         n = main.shape[0]
-        g0, g1 = randomness
+        g0, g1 = randomness  # device Fp2 scalars (aux_on_device)
         # terms = γ0 + v·γ1, v = main col c (zero in the bench): one device
-        # prefix scan builds all 8 columns; result stays on device.
+        # prefix scan builds all 8 columns; everything stays on device —
+        # the aux values flow straight into the transcript without a sync.
         from .stark.aux import running_sum_aux_columns
-        from .field.goldilocks import fp2_to_pairs_u64
 
-        terms = fp2_broadcast_to(
-            fp2_from_pairs_u64(np.array(g0, dtype=np.uint64)),
-            (n, self.aux_width),
-        )
+        terms = fp2_broadcast_to(g0, (n, self.aux_width))
         interleaved, final = running_sum_aux_columns(terms)
-        vals = [tuple(int(x) for x in p) for p in fp2_to_pairs_u64(final)]
-        return interleaved, vals
+        return interleaved, final  # final: Fp2 (aux_width,)
 
 
 class ChipletsShapedAir(Air):

@@ -347,10 +347,10 @@ _P_MINUS_2_BITS = np.array(
 )
 
 
-def fp_inv(a: Fp) -> Fp:
-    """Batch inverse via Fermat: a^(p-2), square-and-multiply under
-    ``lax.scan`` so the compiled program holds one step, not 64 (keeps XLA
-    compile time flat — the chain unrolled is ~10^4 primitives)."""
+def _fp_inv_fermat(a: Fp) -> Fp:
+    """Inverse via Fermat: a^(p-2), square-and-multiply under ``lax.scan`` so
+    the compiled program holds one step, not 64 (keeps XLA compile time flat —
+    the chain unrolled is ~10^4 primitives). ~128 full-array muls."""
 
     def step(carry, bit):
         acc, base = carry
@@ -360,6 +360,50 @@ def fp_inv(a: Fp) -> Fp:
     acc0 = fp_ones(a.shape)
     (acc, _), _ = jax.lax.scan(step, (acc0, a), jnp.asarray(_P_MINUS_2_BITS))
     return acc
+
+
+_BATCH_INV_LANES = 4096  # Fermat fallback width / Montgomery lane count
+
+
+def fp_batch_inv(a: Fp) -> Fp:
+    """Batch multiplicative inverse of a flat nonzero array (Montgomery trick,
+    the TPU equivalent of p3's ``batch_multiplicative_inverse``; reference use
+    on the DEEP path: crates/lifted-stark/src/pcs/deep/interpolate.rs).
+
+    Blocked 2-pass product scan over a ``(C, R)`` view: exclusive prefix
+    products down the C axis (R lanes wide), one Fermat inversion of the R
+    lane totals, then a reverse pass ``inv(x[c]) = P_c · carry`` with
+    ``carry ← carry · x[c]``. Total ≈ 3 muls/element + 128·R — ~40× less work
+    than per-element Fermat. All elements must be nonzero (DEEP/quotient
+    denominators are, by domain disjointness)."""
+    n = a.shape[0]
+    assert a.ndim == 1 and (n & (n - 1)) == 0
+    r = min(n, _BATCH_INV_LANES)
+    if n <= r:
+        return _fp_inv_fermat(a)
+    c = n // r
+    x = a.reshape(c, r)
+
+    def fwd(carry, xc):
+        return fp_mul(carry, xc), carry
+
+    total, prefix_ex = jax.lax.scan(fwd, fp_ones((r,)), x)
+    total_inv = _fp_inv_fermat(total)
+
+    def bwd(carry, inputs):
+        xc, pc = inputs
+        return fp_mul(carry, xc), fp_mul(pc, carry)
+
+    _, inv_rows = jax.lax.scan(bwd, total_inv, (x, prefix_ex), reverse=True)
+    return inv_rows.reshape(n)
+
+
+def fp_inv(a: Fp) -> Fp:
+    """Inverse of nonzero elements. Large flat arrays route through the
+    Montgomery batch trick; scalars/small arrays use Fermat directly."""
+    if a.ndim == 1 and a.shape[0] > _BATCH_INV_LANES and (a.shape[0] & (a.shape[0] - 1)) == 0:
+        return fp_batch_inv(a)
+    return _fp_inv_fermat(a)
 
 
 def fp_exp_power_of_2(a: Fp, k: int) -> Fp:

@@ -64,6 +64,11 @@ class LmcsTree:
     def root(self) -> np.ndarray:
         return fp_to_u64(self.layers[-1])[0]
 
+    def root_dev(self) -> Fp:
+        """Root digest as a device Fp (4,) — no host sync."""
+        top = self.layers[-1]
+        return Fp(top.lo[0], top.hi[0])
+
     def rows_at(self, indices: Sequence[int]) -> list:
         """For each query index (tree's own domain order), the unpadded rows
         of every matrix, as numpy u64. Returns ``rows[q][m] -> (w_m,)``."""
@@ -214,6 +219,78 @@ def prove_batch(tree: LmcsTree, indices: Sequence[int], channel) -> None:
     digest_map = {k: gathered[i] for i, k in enumerate(keys)}
     for key in sched:
         channel.hint_commitment(tuple(int(v) for v in digest_map[key]))
+
+
+def gather_openings_dev(tree: LmcsTree, indices: Sequence[int]):
+    """Device-side batch-opening gather: returns ``(flat, meta)`` where
+    ``flat`` is ONE 1-D Fp buffer holding — in transcript hint order — the
+    aligned rows of every matrix per query index, followed by the sibling
+    digests of :func:`sibling_schedule`. No host sync; the caller
+    concatenates buffers across trees and reads back once.
+
+    ``meta`` = (n_indices, aligned_widths, n_siblings)."""
+    import jax.numpy as jnp
+
+    indices = sorted(set(indices))
+    depth = (tree.height - 1).bit_length()
+    parts_lo, parts_hi = [], []
+    aws = []
+    for m, h in zip(tree.matrices, tree.heights):
+        idx = jnp.asarray([d % h for d in indices], dtype=jnp.int32)
+        lo, hi = m.lo[idx], m.hi[idx]  # (q, w)
+        w = m.shape[1]
+        aw = aligned_width(w)
+        aws.append(aw)
+        if aw > w:
+            lo = jnp.pad(lo, [(0, 0), (0, aw - w)])
+            hi = jnp.pad(hi, [(0, 0), (0, aw - w)])
+        parts_lo.append(lo)
+        parts_hi.append(hi)
+    # (q, total_aligned) → row-major flatten = per index, matrices in order
+    rows_lo = jnp.concatenate(parts_lo, axis=1).reshape(-1)
+    rows_hi = jnp.concatenate(parts_hi, axis=1).reshape(-1)
+
+    sched = sibling_schedule(indices, depth)
+    sib_lo = sib_hi = None
+    if sched:
+        per_level: dict = {}
+        for level, node in sched:
+            per_level.setdefault(level, []).append(node)
+        slos, shis = [], []
+        order = []
+        for level in sorted(per_level):
+            nodes = per_level[level]
+            layer = tree.layers[level]
+            idx = jnp.asarray(nodes, dtype=jnp.int32)
+            slos.append(layer.lo[idx])
+            shis.append(layer.hi[idx])
+            order.extend((level, n) for n in nodes)
+        # reorder gathered digests into sched order
+        pos = {k: i for i, k in enumerate(order)}
+        perm = jnp.asarray([pos[k] for k in sched], dtype=jnp.int32)
+        sib_lo = jnp.concatenate(slos, axis=0)[perm].reshape(-1)
+        sib_hi = jnp.concatenate(shis, axis=0)[perm].reshape(-1)
+    flat = Fp(
+        jnp.concatenate([rows_lo] + ([sib_lo] if sib_lo is not None else [])),
+        jnp.concatenate([rows_hi] + ([sib_hi] if sib_hi is not None else [])),
+    )
+    return flat, (len(indices), aws, len(sched))
+
+
+def append_opening_hints(channel, host_vals: np.ndarray, meta) -> None:
+    """Feed a read-back :func:`gather_openings_dev` buffer into the channel
+    hint stream (rows per index per matrix, then sibling digests)."""
+    q, aws, n_sib = meta
+    total_aw = sum(aws)
+    off = 0
+    for _ in range(q):
+        for aw in aws:
+            channel.hint_field_slice([int(v) for v in host_vals[off : off + aw]])
+            off += aw
+    for _ in range(n_sib):
+        channel.hint_commitment(tuple(int(v) for v in host_vals[off : off + 4]))
+        off += 4
+    assert off == len(host_vals)
 
 
 def verify_batch(

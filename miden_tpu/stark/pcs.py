@@ -18,6 +18,13 @@ prover.rs) with this framework's natural-domain-order conventions:
   ``x_k·⟨μ⟩`` (μ an arity-th root of unity). Folding recovers the
   low-degree combination via a size-arity iDFT + Horner at ``β/x_k``
   (pcs/fri/fold/).
+
+Every Fiat-Shamir value (OOD point, DEEP α/β, FRI βs, PoW witnesses, query
+indices) stays a **device scalar** threaded from the
+:class:`~miden_tpu.transcript.device_challenger.DeviceChallenger`, so the
+whole opening phase is one asynchronous device dependency graph with zero
+blocking host round-trips (the round-1 profile showed per-phase host syncs
+costing ~70 ms each over the TPU link).
 """
 
 from __future__ import annotations
@@ -34,15 +41,18 @@ from ..field.goldilocks import (
     Fp,
     Fp2,
     fp2_add,
+    fp2_broadcast_to,
+    fp2_concat,
+    fp2_exp_power_of_2,
     fp2_from_pairs_u64,
     fp2_inv,
     fp2_mul,
     fp2_mul_base,
+    fp2_powers,
     fp2_sub,
     fp2_sum_axis0,
     fp2_tile,
-    fp2_to_pairs_u64,
-    fp2_broadcast_to,
+    fp2_zeros,
     fp_from_u64,
     fp_mul,
     fp_powers,
@@ -76,20 +86,15 @@ def _ext_scalar(z: tuple, shape=()) -> Fp2:
     return fp2_from_pairs_u64(np.array(z, dtype=np.uint64).reshape(*shape, 2))
 
 
-def eval_columns_at(matrix: Fp, shift: int, z: tuple) -> list:
-    """Evaluate every column polynomial of ``matrix`` (natural-order evals
-    over shift·K) at the extension point z. Returns list of (c0, c1) ints."""
-    m, _w = matrix.shape
-    log_m = m.bit_length() - 1
-    sums = _weighted_colsum_dev(log_m, shift, matrix, _ext_scalar(z))
-    # scale = (z^m - s^m) / (m * s^m)
-    zm = gl.ext_exp_power_of_2(z, log_m)
-    sm = gl.exp_power_of_2(shift % gl.P, log_m)
-    scale = gl.ext_mul_base(
-        gl.ext_sub(zm, (sm, 0)), gl.inv(gl.mul(m % gl.P, sm))
-    )
-    pairs = fp2_to_pairs_u64(sums)
-    return [gl.ext_mul(scale, (int(p[0]), int(p[1]))) for p in pairs]
+def _bconst(c: int, shape) -> Fp:
+    from ..field.goldilocks import fp_broadcast_to, fp_const
+
+    return fp_broadcast_to(fp_const(c), shape)
+
+
+# ---------------------------------------------------------------------------
+# OOD evaluation (barycentric, device)
+# ---------------------------------------------------------------------------
 
 
 @_partial(_jax.jit, static_argnums=(0, 1))
@@ -108,42 +113,89 @@ def _weighted_colsum_dev(log_m: int, shift: int, matrix: Fp, z: Fp2) -> Fp2:
     return fp2_sum_axis0(prods)  # (w,) ext
 
 
+@_partial(_jax.jit, static_argnums=(0, 1, 2))
+def _eval_columns_dev(log_m: int, shift: int, log_lift: int, matrix: Fp, z: Fp2) -> Fp2:
+    """Evaluate every column polynomial of ``matrix`` (natural-order evals
+    over shift·K) at ``z^{2^log_lift}``. Returns Fp2 (w,)."""
+    z_l = fp2_exp_power_of_2(z, log_lift)
+    sums = _weighted_colsum_dev(log_m, shift, matrix, z_l)
+    # scale = (z_l^m - s^m) / (m * s^m); s, m static
+    m = 1 << log_m
+    sm = gl.exp_power_of_2(shift % gl.P, log_m)
+    c = gl.inv(gl.mul(m % gl.P, sm))
+    zm = fp2_exp_power_of_2(z_l, log_m)
+    scale = fp2_mul_base(
+        fp2_sub(zm, Fp2(_bconst(sm, ()), _bconst(0, ()))), _bconst(c, ())
+    )
+    w = matrix.shape[1]
+    return fp2_mul(fp2_broadcast_to(scale, (w,)), sums)
+
+
+def eval_columns_at(matrix: Fp, shift: int, z) -> list:
+    """Host-convenience wrapper (testing): evaluate columns at a host ext
+    point, returning (c0, c1) int pairs."""
+    from ..field.goldilocks import fp2_to_pairs_u64
+
+    m, _w = matrix.shape
+    vals = _eval_columns_dev(
+        m.bit_length() - 1, shift, 0, matrix, _ext_scalar(tuple(z))
+    )
+    return [tuple(int(x) for x in p) for p in fp2_to_pairs_u64(vals)]
+
+
 @dataclass
 class DeepClaims:
     """Per-point OOD evaluation claims, aligned to the hashing layout.
 
-    ``evals[point][tree][matrix]`` is a list of (c0, c1) per *aligned*
-    column (zero pads included), matching the α-coefficient positions and
-    the transcript claim stream.
+    ``evals[point][tree]`` is one Fp2 array per tree holding the
+    concatenated *aligned* column claims of all its matrices (zero pads
+    included), matching the α-coefficient positions and the transcript
+    claim stream. ``widths[tree]`` lists the unpadded widths per matrix.
     """
 
-    evals: list
+    evals: list  # [point][tree] -> Fp2 (K_tree,)
+    aligned_widths: list  # [tree][matrix] -> aligned width
 
 
-def compute_deep_claims(trees: list, lift_exps: list, zs: list) -> DeepClaims:
-    """Evaluate all committed columns of all trees at each opening point.
+def compute_deep_claims(trees: list, zs: list) -> DeepClaims:
+    """Evaluate all committed columns of all trees at each opening point
+    (device; one dispatch per (matrix, point), all asynchronous).
 
-    ``lift_exps[t][m]`` is the lift ratio of matrix m in tree t (max_height /
-    matrix height); the matrix polynomial is evaluated at ``z^{lift}``.
-    """
+    A matrix of height h inside a tree of height H is the lift
+    ``f(X^{H/h})``; its polynomial is evaluated at ``z^{lift}``. The max
+    tree height across trees defines the common lift reference."""
+    max_h = max(t.height for t in trees)
     out = []
+    aligned = [
+        [lmcs.aligned_width(m.shape[1]) for m in t.matrices] for t in trees
+    ]
     for z in zs:
         per_tree = []
-        for tree, lifts in zip(trees, lift_exps):
-            per_matrix = []
-            for matrix, lift, h in zip(tree.matrices, lifts, tree.heights):
-                if matrix.shape[1] == 0:
-                    per_matrix.append([])
+        for tree in trees:
+            parts = []
+            for matrix, h in zip(tree.matrices, tree.heights):
+                w = matrix.shape[1]
+                aw = lmcs.aligned_width(w)
+                if w == 0:
                     continue
-                z_l = gl.ext_exp_power_of_2(z, lift.bit_length() - 1)
+                lift = max_h // h
                 shift = gl.canonical_lde_shift(h.bit_length() - 1)
-                vals = eval_columns_at(matrix, shift, z_l)
-                aw = lmcs.aligned_width(matrix.shape[1])
-                vals = vals + [(0, 0)] * (aw - len(vals))
-                per_matrix.append(vals)
-            per_tree.append(per_matrix)
+                vals = _eval_columns_dev(
+                    h.bit_length() - 1, shift, lift.bit_length() - 1, matrix, z
+                )
+                if aw > w:
+                    vals = fp2_concat([vals, fp2_zeros((aw - w,))], axis=0)
+                parts.append(vals)
+            per_tree.append(
+                fp2_concat(parts, axis=0) if parts else fp2_zeros((0,))
+            )
         out.append(per_tree)
-    return DeepClaims(evals=out)
+    return DeepClaims(evals=out, aligned_widths=aligned)
+
+
+# ---------------------------------------------------------------------------
+# DEEP quotient
+# ---------------------------------------------------------------------------
 
 
 def deep_compose(
@@ -151,60 +203,54 @@ def deep_compose(
     trees: list,
     claims: DeepClaims,
     zs: list,
-    alpha: tuple,
-    beta: tuple,
+    alpha: Fp2,
+    beta: Fp2,
 ) -> Fp2:
     """Build the DEEP quotient evaluations over the max LDE domain (natural
-    order): ``Q(x) = Σ_j β^j·(f_red(z_j) − f_red(x))·1/(z_j − x)``."""
-    # α coefficients per aligned column, highest power first (deep/prover.rs
-    # Horner convention: column 0 gets α^{W−1}).
-    total_w = sum(
-        lmcs.aligned_width(m.shape[1]) for t in trees for m in t.matrices
+    order): ``Q(x) = Σ_j β^j·(f_red(z_j) − f_red(x))·1/(z_j − x)``.
+
+    α/β and the claims are device values; α coefficients are assigned per
+    aligned column with the highest power on the first column
+    (deep/prover.rs Horner convention)."""
+    total_w = sum(sum(aws) for aws in claims.aligned_widths)
+    pows = fp2_powers(alpha, total_w)  # [1, α, ..., α^{W-1}]
+    desc = pows[::-1]  # position i gets α^{W-1-i}
+
+    # f_red(z_j) = Σ_i α^{W-1-i}·claim_i  (over the full aligned stream)
+    f_red_zs = []
+    for per_tree in claims.evals:
+        flat = fp2_concat(per_tree, axis=0)
+        f_red_zs.append(fp2_sum_axis0(fp2_mul(desc, flat)))
+    f_red_z = Fp2(
+        Fp(
+            jnp.stack([v.c0.lo for v in f_red_zs]),
+            jnp.stack([v.c0.hi for v in f_red_zs]),
+        ),
+        Fp(
+            jnp.stack([v.c1.lo for v in f_red_zs]),
+            jnp.stack([v.c1.hi for v in f_red_zs]),
+        ),
     )
-    coeffs = []
-    a = (1, 0)
-    for _ in range(total_w):
-        coeffs.append(a)
-        a = gl.ext_mul(a, alpha)
-    coeffs.reverse()
-    col_iter = iter(coeffs)
+
+    # per-matrix α coefficient slices (first w of each aligned block)
     matrices = []
     coeff_arrays = []
-    for tree in trees:
-        for matrix in tree.matrices:
+    off = 0
+    for tree, aws in zip(trees, claims.aligned_widths):
+        for matrix, aw in zip(tree.matrices, aws):
             w = matrix.shape[1]
-            aw = lmcs.aligned_width(w)
-            cs = [next(col_iter) for _ in range(aw)][:w]  # pads contribute 0
-            if w == 0:
-                continue
-            matrices.append(matrix)
-            coeff_arrays.append(_ext_scalar_list(cs))
+            if w:
+                matrices.append(matrix)
+                coeff_arrays.append(desc[off : off + w])
+            off += aw
 
-    # f_red(z_j): Horner over the full aligned claim stream (host ints).
-    f_red_zs = []
-    bpows = []
-    bpow = (1, 0)
-    for j, _z in enumerate(zs):
-        flat = [
-            v
-            for per_matrix in claims.evals[j]
-            for vals in per_matrix
-            for v in vals
-        ]
-        f_red_z = (0, 0)
-        for v in flat:
-            f_red_z = gl.ext_add(gl.ext_mul(f_red_z, alpha), v)
-        f_red_zs.append(f_red_z)
-        bpows.append(bpow)
-        bpow = gl.ext_mul(bpow, beta)
-
+    zs_arr = Fp2(
+        Fp(jnp.stack([z.c0.lo for z in zs]), jnp.stack([z.c0.hi for z in zs])),
+        Fp(jnp.stack([z.c1.lo for z in zs]), jnp.stack([z.c1.hi for z in zs])),
+    )
+    bpows = fp2_powers(beta, len(zs))
     return _deep_compose_dev(
-        domain,
-        tuple(matrices),
-        tuple(coeff_arrays),
-        _ext_scalar_list(f_red_zs),
-        _ext_scalar_list(list(zs)),
-        _ext_scalar_list(bpows),
+        domain, tuple(matrices), tuple(coeff_arrays), f_red_z, zs_arr, bpows
     )
 
 
@@ -243,11 +289,6 @@ def _deep_compose_dev(
     return acc
 
 
-def _ext_scalar_list(vals: list) -> Fp2:
-    arr = np.array(vals, dtype=np.uint64)  # (k, 2)
-    return fp2_from_pairs_u64(arr)
-
-
 def fp2_sum_axis1(x: Fp2) -> Fp2:
     from ..field.goldilocks import fp_sum_axis0
 
@@ -269,10 +310,6 @@ def ext_to_base_matrix(x: Fp2) -> Fp:
     lo = jnp.stack([x.c0.lo, x.c1.lo], axis=2).reshape(n, 2 * k)
     hi = jnp.stack([x.c0.hi, x.c1.hi], axis=2).reshape(n, 2 * k)
     return Fp(lo, hi)
-
-
-def _fold_rows(mat: Fp2, x_inv: Fp, beta: tuple, log_arity: int) -> Fp2:
-    return _fold_rows_dev(log_arity, mat, x_inv, _ext_scalar(beta))
 
 
 @_partial(_jax.jit, static_argnums=(0,))
@@ -305,16 +342,9 @@ def _fold_rows_dev(log_arity: int, mat: Fp2, x_inv: Fp, beta: Fp2) -> Fp2:
     return fp2_mul_base(acc, _bconst(gl.inv(arity), (rows,)))
 
 
-def _bconst(c: int, shape) -> Fp:
-    from ..field.goldilocks import fp_broadcast_to, fp_const
-
-    return fp_broadcast_to(fp_const(c), shape)
-
-
 @dataclass
 class FriProver:
     trees: list  # LmcsTree per round
-    final_poly: list  # descending-order ext coefficients
 
 
 @_partial(_jax.jit, static_argnums=(0,))
@@ -344,10 +374,27 @@ def _x_inv_step(log_arity: int, next_rows: int, x_inv: Fp) -> Fp:
     return nx
 
 
+@_partial(_jax.jit, static_argnums=(0, 2))
+def _final_poly_dev(final_deg: int, cur: Fp2, shift: int = 1) -> Fp2:
+    """Interpolate the last FRI layer over its coset, truncate to the degree
+    bound, return **descending**-order coefficients (fri/prover.rs:228-239)."""
+    comp = Fp(
+        jnp.stack([cur.c0.lo, cur.c1.lo], axis=1),
+        jnp.stack([cur.c0.hi, cur.c1.hi], axis=1),
+    )  # (size, 2)
+    coeffs_br = ntt.coset_interpolate_bitrev(comp, shift)
+    coeffs = ntt.bitrev_perm(coeffs_br)[:final_deg]
+    rev = coeffs[::-1]
+    return Fp2(rev[:, 0], rev[:, 1])
+
+
 def fri_commit(params: PcsParams, domain: LiftedDomain, evals: Fp2, channel) -> FriProver:
-    """FRI commit phase (pcs/fri/prover.rs:93-242, natural-order variant)."""
+    """FRI commit phase (pcs/fri/prover.rs:93-242, natural-order variant).
+
+    Every round's root observation, PoW grind, and β sample run on the
+    device challenger — the round loop dispatches asynchronously with no
+    host sync."""
     log_arity = params.log_folding_arity
-    arity = params.arity
     size = domain.lde_height
     log_size = domain.log_lde_height
     shift = domain.lde_shift
@@ -367,33 +414,21 @@ def fri_commit(params: PcsParams, domain: LiftedDomain, evals: Fp2, channel) -> 
         with span("FRI round commit", rows=n_rows):
             mat, mat_base = _fri_round_prep(log_arity, cur)
             tree = lmcs.build_tree([mat_base])
-        channel.send_commitment(tree.root())
+        channel.send_commitment(tree.root_dev())
         channel.grind(params.folding_pow_bits)
         beta = channel.sample_ext()
         with span("FRI fold", rows=n_rows):
-            cur = _fold_rows(mat, x_inv[:n_rows], beta, log_arity)
+            cur = _fold_rows_dev(log_arity, mat, x_inv[:n_rows], beta)
         trees.append(tree)
         size = n_rows
         cur_shift = gl.exp_power_of_2(cur_shift, log_arity)
         if size > final_domain_size:
             x_inv = _x_inv_step(log_arity, size >> log_arity, x_inv)
 
-    # Final polynomial: interpolate over its coset, truncate to the degree
-    # bound, send descending-order coefficients.
-    final_deg = params.final_poly_degree
-    comp = Fp(
-        jnp.stack([cur.c0.lo, cur.c1.lo], axis=1),
-        jnp.stack([cur.c0.hi, cur.c1.hi], axis=1),
-    )  # (size, 2)
-    coeffs_br = ntt.coset_interpolate_bitrev_jit(comp, cur_shift)
-    coeffs = ntt.bitrev_perm(coeffs_br)
-    from ..field.goldilocks import fp_to_u64
-
-    cn = fp_to_u64(coeffs)  # (size, 2)
-    final_poly = [(int(cn[i, 0]), int(cn[i, 1])) for i in range(final_deg)]
-    final_poly.reverse()
+    ntt._warm(size.bit_length() - 1, 0, [(gl.inv(cur_shift % gl.P), size)])
+    final_poly = _final_poly_dev(params.final_poly_degree, cur, cur_shift)
     channel.send_ext_slice(final_poly)
-    return FriProver(trees=trees, final_poly=final_poly)
+    return FriProver(trees=trees)
 
 
 def open_with_channel(
@@ -402,18 +437,16 @@ def open_with_channel(
     trees: list,
     zs: list,
     channel,
-) -> None:
-    """Full PCS opening (pcs/prover.rs:35-105): DEEP → FRI → PoW → queries."""
-    max_h = domain.lde_height
-    lift_exps = [
-        [max_h // h for h in tree.heights] for tree in trees
-    ]
+):
+    """PCS opening through query-index sampling (pcs/prover.rs:35-105):
+    DEEP → FRI → PoW → sample indices. Returns (fri_trees, index scalar
+    array) — the caller materializes the transcript and runs the (host-
+    directed) query gather phase."""
     with span("evaluate at OOD points"):
-        claims = compute_deep_claims(trees, lift_exps, zs)
+        claims = compute_deep_claims(trees, zs)
     # 1. Bind claims: per point, the flat aligned stream.
     for per_tree in claims.evals:
-        flat = [v for pm in per_tree for vals in pm for v in vals]
-        channel.send_ext_slice(flat)
+        channel.send_ext_slice(fp2_concat(per_tree, axis=0))
     # 2. PoW + DEEP challenges.
     with span("DEEP grind", bits=params.deep_pow_bits):
         channel.grind(params.deep_pow_bits)
@@ -425,19 +458,13 @@ def open_with_channel(
     # 4. FRI commit phase.
     with span("FRI commit phase"):
         fri = fri_commit(params, domain, deep_evals, channel)
-    # 5. Query PoW + indices.
+    # 5. Query PoW + indices (device scalars; masked host-side after the
+    #    single readback).
     with span("query grind", bits=params.query_pow_bits):
         channel.grind(params.query_pow_bits)
-    indices = sorted(
-        {channel.sample_bits(domain.log_lde_height) for _ in range(params.num_queries)}
+    idx_scalars = [channel.sample() for _ in range(params.num_queries)]
+    idx_arr = Fp(
+        jnp.stack([s.lo for s in idx_scalars]),
+        jnp.stack([s.hi for s in idx_scalars]),
     )
-    # 6. Open input trees (lifted) then FRI round trees.
-    with span("query phase"):
-        for tree in trees:
-            lmcs.prove_batch(tree, [d % tree.height for d in indices], channel)
-        size = max_h
-        cur_indices = indices
-        for tree in fri.trees:
-            size >>= params.log_folding_arity
-            cur_indices = sorted({d % size for d in cur_indices})
-            lmcs.prove_batch(tree, cur_indices, channel)
+    return fri.trees, idx_arr

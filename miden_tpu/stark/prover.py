@@ -38,6 +38,8 @@ from ..field.goldilocks import (
     fp2_mul,
     fp2_mul_base,
     fp2_tile,
+    fp2_to_pairs_u64,
+    fp_concat,
     fp_from_u64,
     fp_inv,
     fp_mul,
@@ -133,31 +135,26 @@ def evaluate_quotient(
     main_lde: Fp,
     aux_lde: Fp,
     log_d: int,
-    alpha: tuple,
-    publics: list,
-    randomness: list,
-    aux_values: list,
+    alpha: Fp2,
+    publics: Fp,
+    randomness: Fp2,
+    aux_values: Fp2,
 ) -> Fp2:
     """α-folded constraint evaluation / Z_H over the native quotient coset
-    (prover/constraints/mod.rs:40-130, vectorized + jitted per AIR/shape)."""
-    alpha_d = _ext_const_vec(alpha, ())
-    pub_d = fp_from_u64(np.asarray([p % gl.P for p in publics], dtype=np.uint64))
-    rand_d = fp2_from_pairs_u64(
-        np.asarray(randomness, dtype=np.uint64).reshape(len(randomness), 2)
-    )
-    auxv_d = fp2_from_pairs_u64(
-        np.asarray(aux_values, dtype=np.uint64).reshape(len(aux_values), 2)
-    )
+    (prover/constraints/mod.rs:40-130, vectorized + jitted per AIR/shape).
+
+    α / randomness / aux values are device arrays (Fp2 scalars / (k,)),
+    publics a device Fp (n_pub,) — no host round-trip."""
     import os as _os
 
     if _os.environ.get("MIDEN_TPU_INTERP") == "1" or _jax.default_backend() == "cpu":
         # bytecode evaluator: O(1) compiled-program size — required on the
         # CPU test mesh where XLA cannot compile the fused VM-AIR graph
         return _evaluate_quotient_interp(
-            air, domain, log_d, main_lde, aux_lde, alpha_d, pub_d, rand_d, auxv_d
+            air, domain, log_d, main_lde, aux_lde, alpha, publics, randomness, aux_values
         )
     return _evaluate_quotient_dev(
-        air, domain, log_d, main_lde, aux_lde, alpha_d, pub_d, rand_d, auxv_d
+        air, domain, log_d, main_lde, aux_lde, alpha, publics, randomness, aux_values
     )
 
 
@@ -386,15 +383,62 @@ def commit_quotient(
     return lmcs.build_tree([_quotient_chunks_dev(acc, domain, log_d, log_blowup)])
 
 
+def _fp2_stack(scalars: list) -> Fp2:
+    """Stack Fp2 () scalars into an Fp2 (k,) array (k may be 0)."""
+    if not scalars:
+        return fp2_from_pairs_u64(np.zeros((0, 2), dtype=np.uint64))
+    return Fp2(
+        Fp(
+            jnp.stack([s.c0.lo for s in scalars]),
+            jnp.stack([s.c0.hi for s in scalars]),
+        ),
+        Fp(
+            jnp.stack([s.c1.lo for s in scalars]),
+            jnp.stack([s.c1.hi for s in scalars]),
+        ),
+    )
+
+
+def _ood_valid_flag(domain: LiftedDomain, z: Fp2):
+    """Device boolean: z ∉ {0} ∪ H ∪ sK (domain.rs:539-560).
+
+    The prover samples the OOD point once and asserts validity at the final
+    readback instead of rejection-looping (rejection probability ≈ 2^-103;
+    the verifier's replay performs the identical check)."""
+    from ..field.goldilocks import fp2_exp_power_of_2, fp_equal, fp_const, fp2_mul_base
+
+    def is_one(v: Fp2):
+        return (
+            fp_equal(v.c0, fp_const(1))
+            & fp_equal(v.c1, fp_const(0))
+        )
+
+    def is_zero(v: Fp2):
+        return fp_equal(v.c0, fp_const(0)) & fp_equal(v.c1, fp_const(0))
+
+    in_h = is_one(fp2_exp_power_of_2(z, domain.log_trace_height))
+    zs = fp2_mul_base(z, fp_const(gl.inv(domain.lde_shift)))
+    in_k = is_one(fp2_exp_power_of_2(zs, domain.log_lde_height))
+    return ~is_zero(z) & ~in_h & ~in_k
+
+
 def prove(
     params: PcsParams,
     statement: Statement,
     traces: list,
     challenger: DuplexChallenger,
 ) -> StarkOutput:
-    """Prove a multi-AIR statement. ``traces[i]``: numpy u64 (n_i, width_i),
-    instance order. The challenger must be pre-bound to protocol parameters
-    (see air/src/config.rs observe_protocol_params)."""
+    """Prove a multi-AIR statement. ``traces[i]``: numpy u64 (n_i, width_i)
+    or device Fp, instance order. The challenger must be pre-bound to
+    protocol parameters (see air/src/config.rs observe_protocol_params).
+
+    The Fiat-Shamir state machine runs on a device-resident challenger
+    (:mod:`miden_tpu.transcript.device_challenger`): the entire pipeline
+    through query-index sampling is one asynchronous device dependency
+    graph, read back in a single blocking transfer (plus one more for the
+    query-phase opening gathers)."""
+    from ..transcript.device_challenger import DeviceChallenger, DeviceProverChannel
+
     airs = statement.multi_air.airs
     assert len(airs) == len(traces)
     log_blowup = params.log_blowup
@@ -409,8 +453,9 @@ def prove(
         max_domain.sub_domain(log_heights[i]) for i in order
     ]
 
-    statement.observe(challenger, log_heights)
-    channel = ProverChannel(challenger)
+    dch = DeviceChallenger.from_host(challenger)
+    statement.observe(dch, log_heights)
+    channel = DeviceProverChannel(dch)
 
     # Per-AIR quotient degree; the shared D is the max.
     log_ds = [log_quotient_degree(airs[i].constraint_degree()) for i in order]
@@ -420,26 +465,58 @@ def prove(
     # 1. Commit main traces (proof order).
     with span("commit to main traces"):
         main_tree = commit_traces([traces[i] for i in order], log_blowup)
-    channel.send_commitment(main_tree.root())
+    channel.send_commitment(main_tree.root_dev())
 
     # 2. Randomness → aux traces (built in instance order) → external
     #    assertions → commit (proof order) → send aux values.
     max_rand = max((a.num_randomness for a in airs), default=0)
     randomness = [channel.sample_ext() for _ in range(max_rand)]
-    with span("build aux traces"):
-        aux_pairs = [
-            a.build_aux_trace(
-                t, statement.publics, statement.aux_inputs, randomness[: a.num_randomness]
-            )
-            for a, t in zip(airs, traces)
-        ]
-    aux_values_inst = [v for (_, v) in aux_pairs]
-    assertions = statement.multi_air.eval_external(
-        randomness, aux_values_inst, log_heights
+    # Airs whose aux builders run host-side (e.g. the per-row VM bus
+    # builders) need the sampled randomness as host ints: one small early
+    # readback. Device-mode builders (aux_on_device = True) keep the
+    # pipeline fully asynchronous.
+    host_aux = any(
+        (a.aux_width or a.num_aux_values) and not getattr(a, "aux_on_device", False)
+        for a in airs
     )
-    for k, v in enumerate(assertions):
-        if tuple(v) != (0, 0):
-            raise ValueError(f"external assertion {k} is non-zero: {v}")
+    if host_aux and max_rand:
+        pairs = fp2_to_pairs_u64(_fp2_stack(randomness))
+        rand_host = [(int(p[0]), int(p[1])) for p in pairs]
+    else:
+        rand_host = None
+    with span("build aux traces"):
+        aux_pairs = []
+        for a, t in zip(airs, traces):
+            r = (
+                randomness[: a.num_randomness]
+                if getattr(a, "aux_on_device", False)
+                else (rand_host or [])[: a.num_randomness]
+            )
+            aux_pairs.append(
+                a.build_aux_trace(t, statement.publics, statement.aux_inputs, r)
+            )
+    # Normalize aux values to device Fp2 (k,) per AIR; keep host copies when
+    # available for the (host-side) external assertion check.
+    aux_values_inst = []
+    aux_values_host = []
+    for (_, vals) in aux_pairs:
+        if isinstance(vals, Fp2):
+            aux_values_inst.append(vals)
+            aux_values_host.append(None)
+        else:
+            aux_values_host.append([tuple(int(x) for x in v) for v in vals])
+            aux_values_inst.append(
+                fp2_from_pairs_u64(
+                    np.asarray(vals, dtype=np.uint64).reshape(len(vals), 2)
+                )
+            )
+    if rand_host is not None and all(v is not None for v in aux_values_host):
+        assertions = statement.multi_air.eval_external(
+            rand_host, aux_values_host, log_heights
+        )
+        for k, v in enumerate(assertions):
+            if tuple(v) != (0, 0):
+                raise ValueError(f"external assertion {k} is non-zero: {v}")
     aux_flat = []
     for i in order:
         aux_t = aux_pairs[i][0]  # numpy (n, aw, 2) or device Fp (n, 2·aw)
@@ -447,17 +524,24 @@ def prove(
             aux_flat.append(aux_t)
         else:
             n, aw, _ = aux_t.shape
-            aux_flat.append(aux_t.reshape(n, 2 * aw))
+            aux_flat.append(
+                fp_from_u64(np.ascontiguousarray(aux_t.reshape(n, 2 * aw)))
+            )
     with span("commit to aux traces"):
         aux_tree = commit_traces(aux_flat, log_blowup)
-    channel.send_commitment(aux_tree.root())
+    channel.send_commitment(aux_tree.root_dev())
     aux_values = [aux_values_inst[i] for i in order]
     for vals in aux_values:
-        channel.send_ext_slice([tuple(v) for v in vals])
+        channel.send_ext_slice(vals)
 
     # 3. Constraint fold / accumulation challenges.
     alpha = channel.sample_ext()
     beta = channel.sample_ext()
+
+    pub_d = fp_from_u64(
+        np.asarray([int(p) % gl.P for p in statement.publics], dtype=np.uint64)
+    )
+    rand_d = _fp2_stack(randomness)
 
     # 4. Per-AIR quotient evaluation + Horner accumulation under lifting.
     acc = None
@@ -472,8 +556,8 @@ def prove(
             aux_tree.matrices[k] if air.aux_width else None,
             log_ds[k],
             alpha,
-            statement.publics,
-            randomness[: air.num_randomness],
+            pub_d,
+            rand_d[: air.num_randomness],
             aux_values[k],
         )
         if log_ds[k] < log_d:
@@ -483,24 +567,58 @@ def prove(
             acc = q
         else:
             reps = target // acc.shape[0]
-            acc = _accumulate_step(reps, acc, q, _ext_const_vec(beta, ()))
+            acc = _accumulate_step(reps, acc, q, beta)
     # 5. Commit quotient.
     with span("commit to quotient poly chunks"):
         quotient_tree = commit_quotient(acc, max_domain, log_d, log_blowup)
-    channel.send_commitment(quotient_tree.root())
+    channel.send_commitment(quotient_tree.root_dev())
 
     # 6. OOD point + PCS opening at [z, z·ω_H].
-    z = max_domain.sample_ood_point(channel)
+    z = channel.sample_ext()
+    channel.check("ood point outside domains", _ood_valid_flag(max_domain, z))
     h = max_domain.trace_generator
-    z_next = gl.ext_mul_base(z, h)
+    from ..field.goldilocks import fp_const as _fp_const
+
+    z_next = fp2_mul_base(z, _fp_const(h))
     with span("open"):
-        pcs.open_with_channel(
+        fri_trees, idx_arr = pcs.open_with_channel(
             params,
             max_domain,
             [main_tree, aux_tree, quotient_tree],
             [z, z_next],
             channel,
         )
+
+    # --- THE blocking readback: transcript + query indices in one transfer.
+    with span("transcript readback"):
+        idx_host = channel.materialize(extra=idx_arr)
+    mask = (1 << max_domain.log_lde_height) - 1
+    indices = sorted({int(v) & mask for v in idx_host})
+
+    # 7. Query phase: device gathers for all trees, one more readback.
+    with span("query phase"):
+        flats, metas = [], []
+        for tree in [main_tree, aux_tree, quotient_tree]:
+            flat, meta = lmcs.gather_openings_dev(tree, indices)
+            flats.append(flat)
+            metas.append(meta)
+        size = max_domain.lde_height
+        cur_indices = indices
+        for tree in fri_trees:
+            size >>= params.log_folding_arity
+            cur_indices = sorted({d % size for d in cur_indices})
+            flat, meta = lmcs.gather_openings_dev(tree, cur_indices)
+            flats.append(flat)
+            metas.append(meta)
+        from ..field.goldilocks import fp_to_u64 as _fp_to_u64
+
+        big = fp_concat([f for f in flats], axis=0)
+        host_vals = _fp_to_u64(big)  # second (final) blocking readback
+        off = 0
+        for flat, meta in zip(flats, metas):
+            n = flat.shape[0]
+            lmcs.append_opening_hints(channel, host_vals[off : off + n], meta)
+            off += n
 
     digest, data = channel.finalize()
     return StarkOutput(

@@ -13,7 +13,21 @@ import os
 import time
 
 _ENABLED = os.environ.get("MIDEN_TPU_TRACE") == "1"
+# MIDEN_TPU_SYNC=1: insert a device barrier at each span boundary so span
+# times reflect true device work (the prover is otherwise fully async and
+# all time pools in the final readback). Debugging only — barriers cost
+# a link round-trip each.
+_SYNC = os.environ.get("MIDEN_TPU_SYNC") == "1"
 _depth = 0
+
+
+def _barrier() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    # TPU executes one stream in order: reading back a fresh trivial
+    # computation waits for everything queued before it.
+    jax.device_get(jnp.zeros(()) + 1)
 
 
 @contextlib.contextmanager
@@ -22,10 +36,14 @@ def span(name: str, **fields):
     if not _ENABLED:
         yield
         return
+    if _SYNC:
+        _barrier()
     t0 = time.time()
     _depth += 1
     try:
         yield
+        if _SYNC:
+            _barrier()
     finally:
         _depth -= 1
         extra = " ".join(f"{k}={v}" for k, v in fields.items())

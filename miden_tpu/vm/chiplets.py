@@ -208,6 +208,96 @@ def _hasher_pairs(requests: list):
     return pairs
 
 
+def _hasher_rows_native(requests: list):
+    """Vectorized controller-row builder for the linear-hash request kinds
+    (control_block / basic_block / permute): permutation chains run in C
+    (native/trace_gen.c p2_chain_basic_block), row scatter and cycle dedup
+    in numpy. Returns (rows, cycle_states (u,12), counts (u,)) or None when
+    a request kind needs the general path (Merkle legs)."""
+    import os
+
+    if os.environ.get("MIDEN_TPU_NO_NATIVE") == "1":
+        return None
+    try:
+        from ..native import trace_gen_lib, u64ptr
+        lib = trace_gen_lib()
+    except Exception:
+        return None
+    states_parts, outs_parts, bnd_in_parts, bnd_out_parts, ret_parts = (
+        [], [], [], [], []
+    )
+    for req in requests:
+        kind = req[0]
+        if kind == "control_block":
+            _, addr, h1, h2, domain = req
+            st = np.asarray([[*h1, *h2, 0, domain % P, 0, 0]], dtype=np.uint64)
+            out = st.copy()
+            lib.p2_permute_batch(u64ptr(out), 1)
+            states_parts.append(st)
+            outs_parts.append(out)
+            bnd_in_parts.append([1]); bnd_out_parts.append([1]); ret_parts.append([0])
+        elif kind == "basic_block":
+            _, addr, batches = req
+            k = len(batches)
+            b = np.asarray(batches, dtype=np.uint64).reshape(k, 8)
+            st = np.zeros((k, 12), dtype=np.uint64)
+            out = np.zeros((k, 12), dtype=np.uint64)
+            lib.p2_chain_basic_block(u64ptr(np.ascontiguousarray(b)), k, u64ptr(st), u64ptr(out))
+            states_parts.append(st)
+            outs_parts.append(out)
+            bi = np.zeros(k, dtype=np.uint64); bi[0] = 1
+            bo = np.zeros(k, dtype=np.uint64); bo[-1] = 1
+            bnd_in_parts.append(bi); bnd_out_parts.append(bo)
+            ret_parts.append(np.zeros(k, dtype=np.uint64))
+        elif kind == "permute":
+            _, addr, state = req
+            st = np.asarray([[v % P for v in state]], dtype=np.uint64)
+            out = st.copy()
+            lib.p2_permute_batch(u64ptr(out), 1)
+            states_parts.append(st)
+            outs_parts.append(out)
+            bnd_in_parts.append([1]); bnd_out_parts.append([1]); ret_parts.append([1])
+        else:
+            return None  # Merkle request kinds: general path
+    if not states_parts:
+        return np.zeros((0, CHIPLETS_WIDTH), dtype=np.uint64), np.zeros((0, 12), dtype=np.uint64), np.zeros(0, dtype=np.uint64)
+    states = np.concatenate(states_parts)
+    outs = np.concatenate(outs_parts)
+    bnd_in = np.concatenate([np.asarray(x, dtype=np.uint64) for x in bnd_in_parts])
+    bnd_out = np.concatenate([np.asarray(x, dtype=np.uint64) for x in bnd_out_parts])
+    ret = np.concatenate([np.asarray(x, dtype=np.uint64) for x in ret_parts])
+
+    # dedup cycles in FIRST-OCCURRENCE order (matches the dict-based path)
+    uniq, first_idx, inverse, counts = np.unique(
+        states, axis=0, return_index=True, return_inverse=True, return_counts=True
+    )
+    order = np.argsort(first_idx)
+    rank = np.empty(len(uniq), dtype=np.uint64)
+    rank[order] = np.arange(len(uniq), dtype=np.uint64)
+    pid = rank[inverse]
+    cycle_states = uniq[order]
+    cycle_counts = counts[order].astype(np.uint64)
+
+    k = states.shape[0]
+    n = 2 * k
+    padded = -n % 8
+    rows = np.zeros((n + padded, CHIPLETS_WIDTH), dtype=np.uint64)
+    rin = rows[0:n:2]
+    rout = rows[1:n:2]
+    rin[:, H_HS0] = 1
+    rin[:, H_BND] = bnd_in
+    rout[:, H_HS1] = ret
+    rout[:, H_BND] = bnd_out
+    for i in range(12):
+        rin[:, H_STATE[i]] = states[:, i]
+        rout[:, H_STATE[i]] = outs[:, i]
+    rin[:, H_PERM] = pid
+    rout[:, H_PERM] = pid
+    rows[n:, H_HS0] = 1
+    rows[n:, H_HS1] = 1
+    return rows, cycle_states, cycle_counts
+
+
 def build_hasher_rows(requests: list):
     """Controller rows (2 per permutation pair, padded to 8-row alignment)
     plus the deduplicated permutation cycles for Poseidon2PermutationAir.
@@ -215,6 +305,11 @@ def build_hasher_rows(requests: list):
     Returns (rows, cycles) where cycles is a list of
     (input_state, multiplicity)."""
     from ..hash import poseidon2_host as hp
+
+    fast = _hasher_rows_native(requests)
+    if fast is not None:
+        rows, cycle_states, cycle_counts = fast
+        return rows, (cycle_states, cycle_counts)
 
     pairs = _hasher_pairs(requests)
     n = 2 * len(pairs)
@@ -265,11 +360,38 @@ def build_hasher_rows(requests: list):
     return rows, cycles
 
 
-def build_poseidon_trace(cycles: list) -> np.ndarray:
+def _poseidon_trace_native(cycle_states: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Vectorized Poseidon2PermutationAir trace: packed 16-row schedules
+    computed in C, scattered with numpy."""
+    from ..native import trace_gen_lib, u64ptr
+
+    lib = trace_gen_lib()
+    u = cycle_states.shape[0]
+    k = 1 << u.bit_length()  # ≥ one zero-multiplicity padding cycle
+    states = np.zeros((k, 12), dtype=np.uint64)
+    states[:u] = cycle_states  # padding cycles use the zero state
+    rows = np.zeros((k, 16, 12), dtype=np.uint64)
+    wits = np.zeros((k, 16, 3), dtype=np.uint64)
+    lib.p2_packed_rows(u64ptr(np.ascontiguousarray(states)), k, u64ptr(rows), u64ptr(wits))
+    m = np.zeros((16 * k, POSEIDON_WIDTH), dtype=np.uint64)
+    m[:, P_WITNESS[0] : P_WITNESS[2] + 1] = wits.reshape(16 * k, 3)
+    m[:, P_STATE[0] : P_STATE[11] + 1] = rows.reshape(16 * k, 12)
+    m[:, P_PERM] = np.repeat(np.arange(k, dtype=np.uint64), 16)
+    mults = np.zeros(k, dtype=np.uint64)
+    mults[:u] = counts
+    m[0::16, P_WITNESS[0]] = mults
+    m[15::16, P_WITNESS[0]] = mults
+    return m
+
+
+def build_poseidon_trace(cycles) -> np.ndarray:
     """Poseidon2 permutation trace: one 16-row packed cycle per unique
     input state; multiplicity in witness[0] of rows 0 and 15; padding
     cycles use the zero state with multiplicity 0."""
     from ..hash import poseidon2_host as hp
+
+    if isinstance(cycles, tuple):  # native path: (states (u,12), counts)
+        return _poseidon_trace_native(*cycles)
 
     # at least one zero-multiplicity padding cycle at the end: the final
     # trace row's wiring fraction never enters the accumulator (transition

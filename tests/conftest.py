@@ -1,8 +1,9 @@
 """Test configuration: force CPU with 8 virtual devices.
 
 Mirrors the reference's strategy of testing parallel logic without a cluster
-(SURVEY.md §4): sharded kernels run on a host-local virtual mesh and are
-asserted bit-exact against the single-device / pure-Python ground truth.
+(SURVEY.md §4): the 8-device virtual mesh lets the ``dist`` sharding tests
+(tests/test_dist.py) assert multi-device results bit-exact against the
+single-device ground truth.
 
 The environment pins ``JAX_PLATFORMS=axon`` (the real-TPU tunnel) and a
 sitecustomize imports jax at interpreter start, so mutating ``os.environ``

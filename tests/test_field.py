@@ -144,3 +144,14 @@ def test_ext_pow_oracle():
     a = (123456789, 987654321)
     assert gl.ext_mul(a, gl.ext_inv(a)) == (1, 0)
     assert gl.ext_pow(a, 5) == gl.ext_mul(gl.ext_mul(gl.ext_mul(gl.ext_mul(a, a), a), a), a)
+
+
+def test_batch_inv_matches_fermat():
+    n = 1 << 14  # above the Montgomery threshold
+    vals = (rand_u64(n) % (gl.P - 1)) + 1  # nonzero
+    x = g.fp_from_u64(vals)
+    got = g.fp_to_u64(g.fp_batch_inv(x))
+    expected = np.array([pow(int(v), gl.P - 2, gl.P) for v in vals[:64]], dtype=np.uint64)
+    assert np.array_equal(got[:64], expected)
+    prod = g.fp_to_u64(g.fp_mul(x, g.fp_batch_inv(x)))
+    assert np.all(prod == 1)

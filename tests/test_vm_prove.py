@@ -103,6 +103,7 @@ def test_cli_compile_and_run(tmp_path):
     assert out.stdout.splitlines()[-1].startswith("output stack: [6,")
 
 
+@pytest.mark.slow
 def test_prove_mtree_get():
     # MPVERIFY end-to-end: mtree_get opens leaf 5 of an 8-leaf tree and
     # proves the Merkle path through the hasher chiplet
@@ -125,6 +126,7 @@ def test_prove_mtree_get():
     verify_program(proof)
 
 
+@pytest.mark.slow
 def test_prove_mtree_set():
     # MRUPDATE end-to-end: both Merkle legs prove through the hasher
     # chiplet with sibling-table reuse enforcement
@@ -151,6 +153,7 @@ def test_prove_mtree_set():
     verify_program(proof)
 
 
+@pytest.mark.slow
 def test_prove_horner_eval():
     # HORNERBASE + HORNEREXT: α word written to memory, 8 base + 4 ext
     # Horner steps, accumulator checked against host extension arithmetic
@@ -188,6 +191,7 @@ def test_prove_horner_eval():
     verify_program(proof)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("coset", [0, 1, 2, 3])
 def test_prove_fri_ext2fold4(coset):
     # one factor-4 FRI fold per coset, checked against host extension
@@ -234,6 +238,7 @@ def test_prove_fri_ext2fold4(coset):
     verify_program(proof)
 
 
+@pytest.mark.slow
 def test_prove_crypto_stream():
     # CRYPTOSTREAM: plaintext at mem[40..48] + rate on the stack →
     # ciphertext at mem[56..64] and s[0:8]; pointers advance by 8
@@ -260,6 +265,7 @@ def test_prove_crypto_stream():
     verify_program(proof)
 
 
+@pytest.mark.slow
 def test_prove_eval_circuit():
     # EVALCIRCUIT: a 6-node circuit ((a-b) squared thrice, a = b) proven
     # through the ACE chiplet with wire-bus + memory binding
@@ -289,6 +295,7 @@ def test_prove_eval_circuit():
     verify_program(proof)
 
 
+@pytest.mark.slow
 def test_eval_circuit_nonzero_rejected():
     from miden_tpu.vm.mast import MastForest, Program
     from miden_tpu.vm.ops import Op
@@ -313,6 +320,7 @@ def test_eval_circuit_nonzero_rejected():
         execute(Program(forest, root), [200, 2, 4] + [0] * 13)
 
 
+@pytest.mark.slow
 def test_prove_log_deferred():
     # LOGDEFERRED: two statement digests folded into the AND-chain
     # deferred root; the proof claim carries the final root and the
