@@ -58,6 +58,8 @@ M_D0 = 14
 M_D1 = 15
 M_T = 16
 M_FSCW = 17
+M_W0 = 18  # word_index & 0xFFFF (addr = 4·w0 + 2^18·w1)
+M_W1 = 19  # word_index >> 16 (< 2^14, enforced by the 4·w1 range check)
 
 # kernel ROM payload (region s0..s3 = 1, s4 = 0): one row per declared
 # kernel procedure (docs chiplets/kernel_rom.md)
@@ -512,12 +514,23 @@ def build_memory_rows(mem_log: list) -> tuple[np.ndarray, list[int]]:
             else:
                 delta = clk - pclk
                 t = gl.inv(delta) if delta else 0
-            assert 0 <= delta < (1 << 32), "memory delta out of u32"
-            row[M_D0] = delta & 0xFFFF
-            row[M_D1] = delta >> 16
             row[M_T] = t
             row[M_FSCW] = 1 if same else 0
-            range_requests.extend((delta & 0xFFFF, delta >> 16))
+        else:
+            # first row: delta fixed to 1 (prev clk treated as clk − 1,
+            # reference trace/chiplets/memory/mod.rs:260)
+            delta = 1
+        assert 0 <= delta < (1 << 32), "memory delta out of u32"
+        row[M_D0] = delta & 0xFFFF
+        row[M_D1] = delta >> 16
+        # word-index decomposition: proves addr is a valid 32-bit address
+        # (reference memory/mod.rs:286-295)
+        word_index = wa // 4
+        w0 = word_index & 0xFFFF
+        w1 = word_index >> 16
+        row[M_W0] = w0
+        row[M_W1] = w1
+        range_requests.extend((delta & 0xFFFF, delta >> 16, w0, w1, 4 * w1))
         prev = (ctx, wa, clk)
     return rows, range_requests
 

@@ -148,11 +148,20 @@ def chiplet_bus_columns(f):
         (fh * is_input * mro, [(1, sib_msg)]),
         (fh * is_input * mrn, [(-1, sib_msg)]),
     ])
-    # range-bus requests for the next row's delta limbs
+    # range-bus requests: every memory row checks its own delta limbs plus
+    # the word-index decomposition (w0, w1, 4·w1 — proves addr < 2^32;
+    # reference trace/chiplets/memory/mod.rs:284-295)
+    d0 = f.main(C.M_D0)
+    d1 = f.main(C.M_D1)
+    w0c = f.main(C.M_W0)
+    w1c = f.main(C.M_W1)
     range_req = mux(one, [
-        (f_mem_nl, [
-            (-1, ch.msg(BUS_RANGE, [d0n])),
-            (-1, ch.msg(BUS_RANGE, [d1n])),
+        (f_mem, [
+            (-1, ch.msg(BUS_RANGE, [d0])),
+            (-1, ch.msg(BUS_RANGE, [d1])),
+            (-1, ch.msg(BUS_RANGE, [w0c])),
+            (-1, ch.msg(BUS_RANGE, [w1c])),
+            (-1, ch.msg(BUS_RANGE, [4 * w1c])),
         ]),
     ])
     # kernel ROM: one INIT remove (balanced by the verifier's public
@@ -301,7 +310,13 @@ class ChipletsVmAir(Air):
         # ---- memory chiplet ----------------------------------------------
         f_mem = s0 * s1 * (1 - s2)
         f_mem_nl = s0 * s1 * (1 - s2n)
-        f_mem_fr = (1 - s1) * s0 * s1n * (1 - s2n)
+        # first memory row: previous row is bitwise (s0=1, s1=0) or hasher
+        # (s0=0) and the next row is memory. Region monotonicity lets each
+        # variant stay degree 4: after a bitwise row only s0=1 regions can
+        # follow, so s0n is implied; after a hasher row s0n must be checked.
+        f_mem_fr_bw = s0 * (1 - s1) * s1n * (1 - s2n)
+        f_mem_fr_h = (1 - s0) * s0n * s1n * (1 - s2n)
+        f_mem_fr = f_mem_fr_bw + f_mem_fr_h
         rw = f.main(C.M_RW)
         ew = f.main(C.M_EW)
         ctx = f.main(C.M_CTX)
@@ -352,6 +367,19 @@ class ChipletsVmAir(Air):
             f_mem_nl * fscwn * (1 - dclk * tn) * ((1 - rw) + (1 - rwn)),
             "mem/same_clk_reads",
         )
+        # first memory row: delta fixed to (1, 0) — the row's own d-limbs
+        # enter the range bus (reference memory/mod.rs:260 prev_clk = clk−1)
+        d0c = f.main(C.M_D0)
+        d1c = f.main(C.M_D1)
+        A("trans", f_mem_fr * (d0n - 1), "mem/first_d0")
+        A("trans", f_mem_fr * d1n, "mem/first_d1")
+        A("first", f_mem * (d0c - 1), "mem/row0_d0")
+        A("first", f_mem * d1c, "mem/row0_d1")
+        # word-index decomposition: addr = 4·w0 + 2^18·w1 with w0, w1, 4·w1
+        # range-checked ⇒ addr is a valid word-aligned 32-bit address
+        w0c = f.main(C.M_W0)
+        w1c = f.main(C.M_W1)
+        A("zero", f_mem * (addr - 4 * w0c - (1 << 18) * w1c), "mem/addr_decomp")
         A(
             "trans",
             f_mem_nl * (fscwn - (1 - n0) * (1 - n1)),

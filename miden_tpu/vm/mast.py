@@ -284,14 +284,21 @@ class MastForest:
         # fingerprint_for_node, basic_block_node/mod.rs:841) so blocks that
         # differ only in assert error codes stay distinct; digest-keyed
         # resolution (External/Dyn) keeps the first node with each digest.
-        key = getattr(node, "fingerprint", node.digest)
+        # namespaced by node kind: an ExternalNode shares its digest with
+        # the node it references, but must not dedup against it
+        key = (type(node).__name__, getattr(node, "fingerprint", node.digest))
         existing = self._by_fingerprint.get(key)
         if existing is not None:
             return existing
         self.nodes.append(node)
         node_id = len(self.nodes) - 1
         self._by_fingerprint[key] = node_id
-        self._by_digest.setdefault(node.digest, node_id)
+        # digest-keyed resolution (External/Dyn): prefer resolvable nodes —
+        # a later-added real node overrides an ExternalNode placeholder that
+        # shares its digest (host.load_library equivalent)
+        cur = self._by_digest.get(node.digest)
+        if cur is None or isinstance(self.nodes[cur], ExternalNode):
+            self._by_digest[node.digest] = node_id
         return node_id
 
     def add_block(self, ops: list[Op]) -> int:

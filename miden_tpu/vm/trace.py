@@ -57,7 +57,6 @@ class SpanState:
     pending_group: int | None  # group the next op starts
     rem: int = 0  # current group with executed ops removed
     op_index: int = 0
-    h1_next: int | None = None  # h1 override for the row after RESPAN
 
 
 @dataclass
@@ -253,7 +252,6 @@ class TraceBuilder:
         st.gc -= 1
         st.queue = list(batch.groups[1 : batch.num_groups])
         st.pending_group = batch.groups[0]
-        st.h1_next = st.parent
 
     def pre_op(self, op, op_idx_in_group: int) -> None:
         st = self._span()
@@ -269,12 +267,12 @@ class TraceBuilder:
             st.rem >>= 7
             st.op_index += 1
         assert st.op_index == op_idx_in_group, "op index drift vs processor"
-        h1 = st.h1_next or 0
-        st.h1_next = None
+        # h1 on every user-op row carries the parent block address
+        # (reference: trace/parallel/tracer/trace_row.rs:99-118 new_operation)
         self._capture(
             code,
             st.addr,
-            h=(st.rem, h1, 0, 0, 0, 0, 0, 0),
+            h=(st.rem, st.parent, 0, 0, 0, 0, 0, 0),
             in_span=1,
             gc=st.gc,
             op_index=st.op_index,
@@ -341,9 +339,10 @@ class TraceBuilder:
                 )
         rc_rows = _range_checker_rows(requests)
 
-        # +1 rows: at least one HALT row, and the last row must carry no
-        # LogUp interactions (its fractions never enter the accumulator)
-        target = max(n_real + 1, L.MIN_TRACE_LEN, len(rc_rows) + 1)
+        # Core height = pad(max(core rows incl. one HALT row, range table))
+        # (reference trace/parallel/mod.rs:170 core_height; the range table
+        # already carries its trailing extra 65535 row)
+        target = max(n_real + 1, L.MIN_TRACE_LEN, len(rc_rows))
         n = 1 << (target - 1).bit_length()
 
         # HALT padding: program hash carried in h0..h3, stack copied forward,
@@ -382,13 +381,17 @@ class TraceBuilder:
         ]
         m[:, L.H0] = np.asarray(h0, dtype=np.uint64)
 
-        # range checker columns: values 0→65535 with powers-of-3 bridges,
-        # multiplicities at first occurrence, 65535-padding at the tail
-        vals = np.full(n, 65535, dtype=np.uint64)
+        # range checker columns: bottom-aligned — all-zero padding rows
+        # first, then values 0→65535 with powers-of-3 bridges and a trailing
+        # (0, 65535) row on the last trace row (reference
+        # trace/range/mod.rs:82 write_range_into_core: table start offset =
+        # core_height − range_table_len)
+        vals = np.zeros(n, dtype=np.uint64)
         mults = np.zeros(n, dtype=np.uint64)
+        pad = n - len(rc_rows)
         for i, (v, mult) in enumerate(rc_rows):
-            vals[i] = v
-            mults[i] = mult
+            vals[pad + i] = v
+            mults[pad + i] = mult
         m[:, L.RC_VALUE] = vals
         m[:, L.RC_MULT] = mults
 
@@ -413,28 +416,30 @@ class TraceBuilder:
 def _range_checker_rows(requests: list[int]) -> list[tuple[int, int]]:
     """(value, multiplicity) rows: sorted distinct requested values plus
     bridge rows so consecutive deltas are powers of 3 ≤ 3^7, anchored at 0
-    and 65535 (docs/src/design/range.md)."""
+    and 65535, plus one trailing (65535, 0) row reserving b_range headroom
+    (reference trace/range/mod.rs:106 emit_table_rows — exact emission
+    order replicated)."""
     counts: dict[int, int] = {}
     for v in requests:
         assert 0 <= v < 65536, f"range request {v} out of u16"
         counts[v] = counts.get(v, 0) + 1
     anchors = sorted(set(counts) | {0, 65535})
     rows: list[tuple[int, int]] = []
-    prev = None
+    prev = 0
     for v in anchors:
-        if prev is not None:
-            gap = v - prev
-            at = prev
-            for step in RANGE_STEPS:
-                while gap >= step and at + step < v:
-                    at += step
-                    gap -= step
-                    rows.append((at, 0))
-                if gap >= step and at + step == v:
-                    gap -= step
-                    break
+        gap = v - prev
+        at = prev
+        stride = 3**7
+        while gap != stride:
+            if gap > stride:
+                gap -= stride
+                at += stride
+                rows.append((at, 0))
+            else:
+                stride //= 3
         rows.append((v, counts.get(v, 0)))
         prev = v
+    rows.append((65535, 0))
     return rows
 
 
