@@ -102,7 +102,16 @@ def commit_traces(matrices: list, log_blowup: int) -> lmcs.LmcsTree:
     """LDE each trace on its canonical coset and commit into one tree.
 
     Accepts host numpy u64 matrices or device-resident ``Fp`` matrices
-    (avoids a host→device copy when the trace is produced on device)."""
+    (avoids a host→device copy when the trace is produced on device).
+
+    Under an active :func:`miden_tpu.dist.context.use_mesh`, the max-height
+    LDE runs as the explicitly-sharded NTT (butterfly stage exchange over
+    ICI) and the tree as per-shard local subtrees + collective top layers."""
+    from ..dist.context import active_mesh
+
+    mesh = active_mesh()
+    max_n = max(m.shape[0] for m in matrices)
+    d = mesh.devices.size if mesh is not None else 1
     ldes = []
     for m in matrices:
         n, w = m.shape
@@ -112,7 +121,16 @@ def commit_traces(matrices: list, log_blowup: int) -> lmcs.LmcsTree:
             continue
         mf = m if isinstance(m, Fp) else fp_from_u64(m)
         shift = gl.canonical_lde_shift((n.bit_length() - 1) + log_blowup)
-        ldes.append(ntt.coset_lde_jit(mf, log_blowup, shift))
+        if mesh is not None and n == max_n and n % d == 0 and n // d >= 2:
+            from ..dist.ntt_dist import coset_lde_sharded
+
+            ldes.append(coset_lde_sharded(mf, log_blowup, shift, mesh))
+        else:
+            ldes.append(ntt.coset_lde_jit(mf, log_blowup, shift))
+    if mesh is not None and (max_n << log_blowup) % d == 0:
+        from ..dist.lmcs_dist import build_tree_sharded
+
+        return build_tree_sharded(ldes, mesh)
     return lmcs.build_tree(ldes)
 
 
@@ -139,27 +157,33 @@ def evaluate_quotient(
     publics: Fp,
     randomness: Fp2,
     aux_values: Fp2,
+    pp_lde: Fp | None = None,
 ) -> Fp2:
     """α-folded constraint evaluation / Z_H over the native quotient coset
     (prover/constraints/mod.rs:40-130, vectorized + jitted per AIR/shape).
 
     α / randomness / aux values are device arrays (Fp2 scalars / (k,)),
-    publics a device Fp (n_pub,) — no host round-trip."""
+    publics a device Fp (n_pub,) — no host round-trip. ``pp_lde`` is the
+    committed preprocessed LDE when the AIR declares preprocessed columns
+    (it shares the max coset with the main trace, prover/mod.rs:463-476)."""
     import os as _os
 
     if _os.environ.get("MIDEN_TPU_INTERP") == "1" or _jax.default_backend() == "cpu":
         # bytecode evaluator: O(1) compiled-program size — required on the
         # CPU test mesh where XLA cannot compile the fused VM-AIR graph
         return _evaluate_quotient_interp(
-            air, domain, log_d, main_lde, aux_lde, alpha, publics, randomness, aux_values
+            air, domain, log_d, main_lde, aux_lde, alpha, publics, randomness,
+            aux_values, pp_lde,
         )
     return _evaluate_quotient_dev(
-        air, domain, log_d, main_lde, aux_lde, alpha, publics, randomness, aux_values
+        air, domain, log_d, main_lde, aux_lde, alpha, publics, randomness,
+        aux_values, pp_lde,
     )
 
 
 def _evaluate_quotient_interp(
-    air, domain, log_d, main_lde, aux_lde, alpha, publics, randomness, aux_values
+    air, domain, log_d, main_lde, aux_lde, alpha, publics, randomness,
+    aux_values, pp_lde=None,
 ):
     """Same domain prep as _evaluate_quotient_dev, constraint evaluation via
     the recorded bytecode program (stark/interp.py)."""
@@ -183,6 +207,14 @@ def _evaluate_quotient_interp(
     else:
         zero = jnp.zeros((nd, 0), dtype=jnp.uint32)
         aux_gj = aux_next = Fp(zero, zero)
+    if pp_lde is not None:
+        pp_gj = pp_lde[::stride]
+        pp_next = Fp(
+            jnp.roll(pp_gj.lo, -d, axis=0), jnp.roll(pp_gj.hi, -d, axis=0)
+        )
+    else:
+        zero = jnp.zeros((nd, 0), dtype=jnp.uint32)
+        pp_gj = pp_next = Fp(zero, zero)
 
     pts = pcs.coset_points(nd.bit_length() - 1, shift)
     sn = gl.exp_power_of_2(shift, domain.log_trace_height)
@@ -210,6 +242,7 @@ def _evaluate_quotient_interp(
     acc = interp.evaluate_folded_constraints(
         air, main_gj, main_next, aux_gj, aux_next, selectors,
         publics, randomness, aux_values, periodic, alpha,
+        pp_cur=pp_gj, pp_next=pp_next,
     )
     # fused divide by Z_H — D distinct values, inverted host-side
     inv_z = [gl.inv(zv) for zv in z_vals]
@@ -233,6 +266,7 @@ def _evaluate_quotient_dev(
     publics: Fp,
     randomness: Fp2,
     aux_values: Fp2,
+    pp_lde: Fp | None = None,
 ) -> Fp2:
     n = domain.trace_height
     d = 1 << log_d
@@ -250,6 +284,12 @@ def _evaluate_quotient_dev(
         if aux_gj is not None
         else None
     )
+    pp_gj = pp_lde[::stride] if pp_lde is not None else None
+    pp_next = (
+        Fp(jnp.roll(pp_gj.lo, -d, axis=0), jnp.roll(pp_gj.hi, -d, axis=0))
+        if pp_gj is not None
+        else None
+    )
 
     backend = VectorBackend((nd,))
 
@@ -261,6 +301,10 @@ def _evaluate_quotient_dev(
         src = aux_gj if offset == 0 else aux_next
         val = Fp2(src[:, 2 * col], src[:, 2 * col + 1])
         return Expr(backend, "ext", val)
+
+    def preprocessed_fn(col, offset=0):
+        src = pp_gj if offset == 0 else pp_next
+        return Expr(backend, "base", src[:, col])
 
     # Selectors over the coset: Z_H(x_i) = shift^n·ω_D^{i mod D} − 1 has D
     # distinct values (host ints); denominators batch-inverted on device.
@@ -308,6 +352,7 @@ def _evaluate_quotient_dev(
         backend,
         main_fn=main_fn,
         aux_fn=aux_fn,
+        preprocessed_fn=preprocessed_fn,
         periodic=periodic,
         publics=pubs,
         randomness=rand_e,
@@ -380,7 +425,15 @@ def commit_quotient(
     """Split Q (evals over (s_K, N·D)) into D contiguous degree-<N chunks and
     commit their LDEs on (s_K, N·B) as one 2D-column matrix
     (quotient.rs:143-216's fused transform, batched in one NTT)."""
-    return lmcs.build_tree([_quotient_chunks_dev(acc, domain, log_d, log_blowup)])
+    from ..dist.context import active_mesh
+
+    chunks = _quotient_chunks_dev(acc, domain, log_d, log_blowup)
+    mesh = active_mesh()
+    if mesh is not None and chunks.shape[0] % mesh.devices.size == 0:
+        from ..dist.lmcs_dist import build_tree_sharded
+
+        return build_tree_sharded([chunks], mesh)
+    return lmcs.build_tree([chunks])
 
 
 def _fp2_stack(scalars: list) -> Fp2:
@@ -427,10 +480,17 @@ def prove(
     statement: Statement,
     traces: list,
     challenger: DuplexChallenger,
+    preprocessed=None,
 ) -> StarkOutput:
     """Prove a multi-AIR statement. ``traces[i]``: numpy u64 (n_i, width_i)
     or device Fp, instance order. The challenger must be pre-bound to
     protocol parameters (see air/src/config.rs observe_protocol_params).
+
+    ``preprocessed``: the :class:`~miden_tpu.stark.preprocessed.Preprocessed`
+    bundle, required exactly when some AIR declares preprocessed columns.
+    Its commitment is observed into Fiat-Shamir before the statement
+    (prover/mod.rs:282-285) but never enters the transcript — the verifier
+    holds it as trusted setup input.
 
     The Fiat-Shamir state machine runs on a device-resident challenger
     (:mod:`miden_tpu.transcript.device_challenger`): the entire pipeline
@@ -453,7 +513,20 @@ def prove(
         max_domain.sub_domain(log_heights[i]) for i in order
     ]
 
+    expected_pp = any(a.preprocessed_width > 0 for a in airs)
+    if (preprocessed is not None) != expected_pp:
+        raise ValueError(
+            "preprocessed bundle must be supplied exactly when some AIR "
+            "declares preprocessed columns"
+        )
+    if preprocessed is not None:
+        from .preprocessed import validate_preprocessed
+
+        validate_preprocessed(statement, traces, preprocessed, params)
+
     dch = DeviceChallenger.from_host(challenger)
+    if preprocessed is not None:
+        dch.observe_arr(preprocessed.tree.root_dev())
     statement.observe(dch, log_heights)
     channel = DeviceProverChannel(dch)
 
@@ -544,6 +617,7 @@ def prove(
     rand_d = _fp2_stack(randomness)
 
     # 4. Per-AIR quotient evaluation + Horner accumulation under lifting.
+    pp_for_air = preprocessed.trace_index_for_air() if preprocessed else {}
     acc = None
     for k, i in enumerate(order):
       with span("evaluate constraints", instance=k):
@@ -559,6 +633,11 @@ def prove(
             pub_d,
             rand_d[: air.num_randomness],
             aux_values[k],
+            (
+                preprocessed.tree.matrices[pp_for_air[i]]
+                if air.preprocessed_width
+                else None
+            ),
         )
         if log_ds[k] < log_d:
             q = upsample_evals(q, dom.lde_shift, log_d - log_ds[k])
@@ -580,11 +659,16 @@ def prove(
     from ..field.goldilocks import fp_const as _fp_const
 
     z_next = fp2_mul_base(z, _fp_const(h))
+    # Opened tree group order: [preprocessed?, main, aux, quotient]
+    # (prover/mod.rs:552-554).
+    input_trees = ([preprocessed.tree] if preprocessed else []) + [
+        main_tree, aux_tree, quotient_tree,
+    ]
     with span("open"):
         fri_trees, idx_arr = pcs.open_with_channel(
             params,
             max_domain,
-            [main_tree, aux_tree, quotient_tree],
+            input_trees,
             [z, z_next],
             channel,
         )
@@ -598,7 +682,7 @@ def prove(
     # 7. Query phase: device gathers for all trees, one more readback.
     with span("query phase"):
         flats, metas = [], []
-        for tree in [main_tree, aux_tree, quotient_tree]:
+        for tree in input_trees:
             flat, meta = lmcs.gather_openings_dev(tree, indices)
             flats.append(flat)
             metas.append(meta)
