@@ -264,6 +264,7 @@ class Folder:
         *,
         main_fn,
         aux_fn=None,
+        preprocessed_fn=None,
         periodic=(),
         publics=(),
         randomness=(),
@@ -274,6 +275,7 @@ class Folder:
         self.backend = backend
         self._main = main_fn
         self._aux = aux_fn
+        self._preprocessed = preprocessed_fn
         self._periodic = list(periodic)
         self._publics = list(publics)
         self._randomness = list(randomness)
@@ -290,6 +292,10 @@ class Folder:
 
     def aux(self, col: int, offset: int = 0) -> Expr:
         return self._aux(col, offset)
+
+    def preprocessed(self, col: int, offset: int = 0) -> Expr:
+        """Fixed preprocessed column (AirBuilder::preprocessed)."""
+        return self._preprocessed(col, offset)
 
     def main_many(self, cols, offset: int = 0) -> Expr:
         """Stacked access to a list of main columns (one Expr with a leading
@@ -583,6 +589,7 @@ class Air:
 
     width: int = 0
     aux_width: int = 0
+    preprocessed_width: int = 0
     num_randomness: int = 0
     num_aux_values: int = 0
     num_public_values: int = 0
@@ -606,6 +613,13 @@ class Air:
         n = main.shape[0]
         return np.zeros((n, 0, 2), dtype=np.uint64), []
 
+    def preprocessed_trace(self):
+        """Fixed circuit data (lookup tables, selectors) committed once at
+        setup: numpy u64 (n, preprocessed_width) with n equal to this AIR's
+        main trace height, or None (reference: BaseAir::preprocessed_trace,
+        crates/lifted-stark/src/preprocessed.rs:80-95)."""
+        return None
+
     def constraint_degree(self) -> int:
         """Max degree multiple via the degree backend."""
         backend = DegreeBackend()
@@ -615,6 +629,7 @@ class Air:
             backend,
             main_fn=lambda c, o=0: Expr(backend, "base", 1),
             aux_fn=lambda c, o=0: Expr(backend, "base", 1),
+            preprocessed_fn=lambda c, o=0: Expr(backend, "base", 1),
             # A period-p column is h(X^{n/p}) with degree up to n·(p−1)/p —
             # count it as a full trace-degree factor (conservative bound).
             periodic=[one] * len(self.periodic_columns),

@@ -60,6 +60,7 @@ def check_air(
     air: Air,
     main: np.ndarray,
     aux: np.ndarray | None = None,
+    preprocessed: np.ndarray | None = None,
     publics=(),
     randomness=(),
     aux_values=(),
@@ -101,11 +102,15 @@ def check_air(
             row = aux[rn if o else r, c]
             return ext(row[0], row[1])
 
+        def pp_fn(c, o=0, r=r, rn=rn):
+            return base(preprocessed[rn if o else r, c])
+
         f = _CheckFolder(
             r,
             violations,
             main_fn=main_fn,
             aux_fn=aux_fn if aux is not None else None,
+            preprocessed_fn=pp_fn if preprocessed is not None else None,
             periodic=[
                 base(pc[r % len(pc)]) for pc in periodic_cols
             ],

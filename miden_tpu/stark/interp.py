@@ -151,6 +151,7 @@ def _collect_constants(air: Air, n_pub: int, n_rand: int, n_auxv: int) -> list[i
         be,
         main_fn=lambda c, o=0: Expr(be, "base", 1),
         aux_fn=lambda c, o=0: Expr(be, "ext", (1, 0)),
+        preprocessed_fn=lambda c, o=0: Expr(be, "base", 1),
         periodic=[Expr(be, "base", 1) for _ in air.periodic_columns],
         publics=[Expr(be, "base", 0)] * n_pub,
         randomness=[Expr(be, "ext", (1, 1))] * n_rand,
@@ -166,7 +167,8 @@ class ConstraintProgram:
     """A recorded, register-allocated constraint program for one Air.
 
     Input register layout (order matched by ``evaluate_folded_constraints``):
-      main cur (w) | main next (w) | aux cur (2aw) | aux next (2aw) |
+      main cur (w) | main next (w) | pp cur (pw) | pp next (pw) |
+      aux cur (2aw) | aux next (2aw) |
       selectors (3) | publics | randomness (2 each) | aux_values (2 each) |
       periodic (p) | alpha (2) | constants
     """
@@ -174,8 +176,11 @@ class ConstraintProgram:
     def __init__(self, air: Air, n_pub: int, n_rand: int, n_auxv: int):
         self.air = air
         w, aw, p = air.width, air.aux_width, len(air.periodic_columns)
+        pw = air.preprocessed_width
         self.n_pub, self.n_rand, self.n_auxv = n_pub, n_rand, n_auxv
-        n_inputs = 2 * w + 4 * aw + 3 + n_pub + 2 * n_rand + 2 * n_auxv + p + 2
+        n_inputs = (
+            2 * w + 2 * pw + 4 * aw + 3 + n_pub + 2 * n_rand + 2 * n_auxv + p + 2
+        )
 
         be = RecordBackend(n_inputs)
         for c in [0, 1, 7] + _collect_constants(air, n_pub, n_rand, n_auxv):
@@ -185,6 +190,8 @@ class ConstraintProgram:
         nxt = iter(range(n_inputs)).__next__
         main_cur = [nxt() for _ in range(w)]
         main_next = [nxt() for _ in range(w)]
+        pp_cur = [nxt() for _ in range(pw)]
+        pp_next = [nxt() for _ in range(pw)]
         aux_cur = [(nxt(), nxt()) for _ in range(aw)]
         aux_next = [(nxt(), nxt()) for _ in range(aw)]
         sels = tuple(nxt() for _ in range(3))
@@ -198,6 +205,9 @@ class ConstraintProgram:
             be,
             main_fn=lambda c, o=0: Expr(be, "base", (main_next if o else main_cur)[c]),
             aux_fn=lambda c, o=0: Expr(be, "ext", (aux_next if o else aux_cur)[c]),
+            preprocessed_fn=lambda c, o=0: Expr(
+                be, "base", (pp_next if o else pp_cur)[c]
+            ),
             periodic=[Expr(be, "base", r) for r in periodic],
             publics=[Expr(be, "base", r) for r in pubs],
             randomness=[Expr(be, "ext", r) for r in rands],
@@ -322,6 +332,8 @@ def evaluate_folded_constraints(
     aux_values: Fp2,  # (n_auxv,)
     periodic: list,  # p × Fp (nd,)
     alpha: Fp2,  # scalar-shaped
+    pp_cur: Fp | None = None,  # (nd, pw)
+    pp_next: Fp | None = None,
 ) -> Fp2:
     """α-folded constraint accumulator via the recorded program; matches
     the fused evaluator value-for-value."""
@@ -341,6 +353,9 @@ def evaluate_folded_constraints(
         push(main_cur[:, j])
     for j in range(air.width):
         push(main_next[:, j])
+    for blk in (pp_cur, pp_next):
+        for j in range(air.preprocessed_width):
+            push(blk[:, j])
     for blk in (aux_cur, aux_next):
         for j in range(2 * air.aux_width):
             push(blk[:, j])

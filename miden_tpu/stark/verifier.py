@@ -64,8 +64,19 @@ def verify(
     statement: Statement,
     proof: Proof,
     challenger: DuplexChallenger,
+    preprocessed_commitment=None,
 ) -> list:
+    """``preprocessed_commitment``: the trusted setup root of the
+    preprocessed LDE tree, required exactly when some AIR declares
+    preprocessed columns (verifier/mod.rs:101-119); observed into
+    Fiat-Shamir before the statement, never read from the proof."""
     airs = statement.multi_air.airs
+    expected_pp = any(a.preprocessed_width > 0 for a in airs)
+    if (preprocessed_commitment is not None) != expected_pp:
+        raise VerificationError(
+            "preprocessed commitment must be supplied exactly when some AIR "
+            "declares preprocessed columns"
+        )
     log_heights = list(proof.log_heights)
     if len(log_heights) != len(airs):
         raise VerificationError("log_heights count mismatch")
@@ -86,6 +97,8 @@ def verify(
     if log_d > params.log_blowup:
         raise VerificationError("constraint degree exceeds blowup")
 
+    if preprocessed_commitment is not None:
+        challenger.observe_slice([int(v) % gl.P for v in preprocessed_commitment])
     statement.observe(challenger, log_heights)
     ch = VerifierChannel(proof.data, challenger)
 
@@ -120,14 +133,33 @@ def verify(
     z_next = gl.ext_mul_base(z, h_gen)
     zs = [z, z_next]
 
-    # Tree shapes: [main, aux, quotient] (prover/mod.rs:547-560 group order).
+    # Tree shapes: [preprocessed?, main, aux, quotient]
+    # (prover/mod.rs:547-560 group order). The preprocessed committed order
+    # is (height, air index) over preprocessed AIRs — heights equal the main
+    # trace heights, so it coincides with proof order restricted to them.
     main_widths = [airs[i].width for i in order]
     aux_widths = [2 * airs[i].aux_width for i in order]
     quotient_widths = [2 * d_chunks]
-    tree_widths = [main_widths, aux_widths, quotient_widths]
     main_heights = [domains[k].lde_height for k in range(len(order))]
-    tree_heights = [main_heights, main_heights, [big_n]]
-    tree_roots = [main_root, aux_root, quotient_root]
+    pp_air_order = [i for i in order if airs[i].preprocessed_width > 0]
+    pp_trace_for_air = {i: t for t, i in enumerate(pp_air_order)}
+    if preprocessed_commitment is not None:
+        pp_widths = [airs[i].preprocessed_width for i in pp_air_order]
+        pp_heights = [
+            (1 << log_heights[i]) << params.log_blowup for i in pp_air_order
+        ]
+        tree_widths = [pp_widths, main_widths, aux_widths, quotient_widths]
+        tree_heights = [pp_heights, main_heights, main_heights, [big_n]]
+        tree_roots = [
+            tuple(int(v) % gl.P for v in preprocessed_commitment),
+            main_root, aux_root, quotient_root,
+        ]
+        t_ofs = 1
+    else:
+        tree_widths = [main_widths, aux_widths, quotient_widths]
+        tree_heights = [main_heights, main_heights, [big_n]]
+        tree_roots = [main_root, aux_root, quotient_root]
+        t_ofs = 0
 
     # 5. DEEP claims per point (sent in one aligned stream per point).
     claims = []  # claims[point][tree][matrix][aligned_col] -> ext
@@ -194,14 +226,19 @@ def verify(
         dom = domains[k]
 
         def main_fn(col, offset=0, _k=k):
-            return Expr(backend, "ext", claim_ext(offset, 0, _k, col))
+            return Expr(backend, "ext", claim_ext(offset, t_ofs, _k, col))
 
         def aux_fn(col, offset=0, _k=k):
             v = _aux_ext(
-                claim_ext(offset, 1, _k, 2 * col),
-                claim_ext(offset, 1, _k, 2 * col + 1),
+                claim_ext(offset, t_ofs + 1, _k, 2 * col),
+                claim_ext(offset, t_ofs + 1, _k, 2 * col + 1),
             )
             return Expr(backend, "ext", v)
+
+        def preprocessed_fn(col, offset=0, _i=i):
+            return Expr(
+                backend, "ext", claim_ext(offset, 0, pp_trace_for_air[_i], col)
+            )
 
         zl = dom.lift(z)
         periodic = []
@@ -218,6 +255,7 @@ def verify(
             backend,
             main_fn=main_fn,
             aux_fn=aux_fn,
+            preprocessed_fn=preprocessed_fn,
             periodic=periodic,
             publics=[Expr(backend, "base", p % gl.P) for p in statement.publics],
             randomness=[
@@ -246,7 +284,9 @@ def verify(
     z_pow_n = gl.ext_exp_power_of_2(z, max_domain.log_trace_height)
     q_at_z = (0, 0)
     for t in reversed(range(d_chunks)):
-        q_t = _aux_ext(claim_ext(0, 2, 0, 2 * t), claim_ext(0, 2, 0, 2 * t + 1))
+        q_t = _aux_ext(
+            claim_ext(0, t_ofs + 2, 0, 2 * t), claim_ext(0, t_ofs + 2, 0, 2 * t + 1)
+        )
         q_at_z = gl.ext_add(gl.ext_mul(q_at_z, z_pow_n), q_t)
     if acc_q != q_at_z:
         raise VerificationError("OOD quotient identity failed")
