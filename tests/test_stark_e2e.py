@@ -119,12 +119,14 @@ def test_fib_roundtrip():
     assert out.proof.size_in_bytes() > 0
 
 
+@pytest.mark.slow
 def test_cube_roundtrip_degree3():
     tr = cube_trace(16)
     st = Statement(MultiAir([CubeAir()]), [0, 0, 0])
     _roundtrip(st, [tr])
 
 
+@pytest.mark.slow
 def test_product_aux_roundtrip():
     rng = np.random.default_rng(5)
     tr = rng.integers(0, gl.P, size=(8, 1), dtype=np.uint64)
@@ -132,6 +134,7 @@ def test_product_aux_roundtrip():
     _roundtrip(st, [tr])
 
 
+@pytest.mark.slow
 def test_multi_air_mixed_heights():
     fib = fib_trace(16)
     prod = np.random.default_rng(6).integers(0, gl.P, size=(4, 1), dtype=np.uint64)
@@ -177,6 +180,7 @@ class FamilyAir(Air):
         f.assert_zero(f.main(0) * f.main(1))
 
 
+@pytest.mark.slow
 def test_family_api_roundtrip():
     tr = np.zeros((8, 6), dtype=np.uint64)
     st = Statement(MultiAir([FamilyAir()]), [0, 0, 0])
