@@ -10,12 +10,40 @@ import os as _os
 
 import jax as _jax
 
+
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's feature flags.
+
+    XLA:CPU serializes AOT executables with the *compiling* machine's
+    target features; loading one on a host with different features is
+    undefined (cpu_aot_loader errors, and in practice executables that
+    hang). The repo cache travels across machines between rounds, so
+    CPU-backend entries must be namespaced per host. TPU executables have
+    no host-CPU dependence and share one directory."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
 # Persistent compilation cache: compiled kernels (permutation, NTT stages,
 # constraint evaluators) are shape-keyed; caching across processes removes
 # recompilation from every run after the first.
 _cache_dir = _os.environ.get(
     "MIDEN_TPU_JAX_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
 )
+if "cpu" in _os.environ.get("JAX_PLATFORMS", "") or (
+    _jax.config.jax_platforms and "cpu" in _jax.config.jax_platforms
+):
+    _cache_dir = _os.path.join(_cache_dir, "cpu-" + _host_fingerprint())
 try:
     _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

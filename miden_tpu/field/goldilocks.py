@@ -407,6 +407,15 @@ def fp_inv(a: Fp) -> Fp:
 
 
 def fp_exp_power_of_2(a: Fp, k: int) -> Fp:
+    """a^(2^k) — k repeated squarings.
+
+    For k ≥ 6 the squarings run under ``lax.fori_loop`` so the compiled
+    graph holds ONE square body: XLA:CPU's backend goes super-linear (in
+    practice, hangs past ~10) on long fully-inlined dependent scalar
+    multiply chains, and nothing is gained by unrolling a sequential
+    chain anyway."""
+    if k >= 6:
+        return jax.lax.fori_loop(0, k, lambda _, v: fp_square(v), a)
     for _ in range(k):
         a = fp_square(a)
     return a
@@ -533,6 +542,9 @@ def fp2_inv(a: Fp2) -> Fp2:
 
 
 def fp2_exp_power_of_2(a: Fp2, k: int) -> Fp2:
+    """a^(2^k) — looped squarings past k ≥ 6 (see fp_exp_power_of_2)."""
+    if k >= 6:
+        return jax.lax.fori_loop(0, k, lambda _, v: fp2_square(v), a)
     for _ in range(k):
         a = fp2_square(a)
     return a

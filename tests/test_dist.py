@@ -70,9 +70,11 @@ def test_lmcs_sharded_matches_single_device():
 
 
 @requires_mesh
+@pytest.mark.slow
 def test_prove_sharded_bit_identical():
     """Full prove on the 8-device mesh == single-device proof, byte for byte
-    (mixed heights + aux columns so lifting and LogUp run under sharding)."""
+    (mixed heights + aux columns so lifting and LogUp run under sharding).
+    Slow: ~8 min on a 4-core host emulating 8 devices."""
     from test_stark_e2e import FibAir, ProductAir, fib_trace, SEED
     from miden_tpu.stark.prover import Statement, MultiAir, prove
     from miden_tpu.stark.params import TEST_PARAMS
