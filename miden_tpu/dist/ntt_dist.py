@@ -95,6 +95,13 @@ def coset_lde_sharded(
     big_n = n << added_bits
     eff = gl.mul(shift_out % gl.P, gl.inv(shift_in % gl.P)) if shift_in != 1 else shift_out % gl.P
 
+    # Pre-warm the LOCAL stage twiddle caches OUTSIDE the shard_map region:
+    # tables first built inside the Manual-mesh context would be cached
+    # with that context's sharding type and poison every later Auto-context
+    # user of the same size (Mesh "Auto vs Manual" errors).
+    ntt._stage_twiddles(log_n - log_d, True)
+    ntt._stage_twiddles(log_n + added_bits - log_d, False)
+
     # tables (global, row-sharded)
     inv_tabs = [
         shard_rows(_stage_table(log_n, s, True), mesh) for s in range(log_d)

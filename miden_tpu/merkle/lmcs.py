@@ -39,6 +39,57 @@ from ..hash import poseidon2_host
 ALIGNMENT = 8  # sponge rate; rows are zero-padded to a multiple of this
 
 
+@dataclass(frozen=True)
+class LmcsHash:
+    """Hash configuration for the tree: device batched sponge/compression
+    plus exact host twins (verifier leaf recompute). All width-12 algebraic
+    sponges share the rate-8/digest-4 layout, so configs are drop-in
+    (reference: per-hash LMCS types, air/src/config.rs:236-353)."""
+
+    name: str
+    hash_blocks: object  # device (n, nblk, 8) -> (n, 4)
+    compress_pairs: object  # device (m,4),(m,4) -> (m,4)
+    host_hash_elements: object  # list[int] -> [4]
+    host_compress: object  # ([4],[4]) -> [4]
+
+
+def _poseidon2_hash() -> "LmcsHash":
+    return LmcsHash(
+        "poseidon2",
+        poseidon2.hash_blocks,
+        poseidon2.compress_pairs,
+        poseidon2_host.hash_elements,
+        poseidon2_host.compress,
+    )
+
+
+POSEIDON2_HASH = _poseidon2_hash()
+
+
+def rpo_hash() -> "LmcsHash":
+    from ..hash import rescue, rescue_host
+
+    return LmcsHash(
+        "rpo256",
+        rescue.rpo_hash_blocks,
+        rescue.rpo_compress_pairs,
+        rescue_host.rpo_hash_elements_stateful,
+        rescue_host.rpo_compress,
+    )
+
+
+def rpx_hash() -> "LmcsHash":
+    from ..hash import rescue, rescue_host
+
+    return LmcsHash(
+        "rpx256",
+        rescue.rpx_hash_blocks,
+        rescue.rpx_compress_pairs,
+        rescue_host.rpx_hash_elements_stateful,
+        rescue_host.rpx_compress,
+    )
+
+
 def aligned_width(w: int) -> int:
     return ((w + ALIGNMENT - 1) // ALIGNMENT) * ALIGNMENT
 

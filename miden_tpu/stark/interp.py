@@ -216,7 +216,11 @@ class ConstraintProgram:
             alpha=Expr(be, "ext", alpha),
         )
         air.eval(f)
-        assert f.acc is not None and f.acc.kind == "ext"
+        assert f.acc is not None, "AIR produced no constraints"
+        if f.acc.kind == "base":
+            # single-constraint AIRs never touch α: lift base → ext
+            f.acc = Expr(be, "ext", be._ext(f.acc.val, "base"))
+        assert f.acc.kind == "ext"
         self.num_constraints = f.num_constraints
         self.n_inputs = n_inputs
         self.const_values = be.const_values
