@@ -1,0 +1,82 @@
+"""MASM standard library.
+
+Our implementation of the reference stdlib (crates/lib/core/asm/): the same
+module paths, procedure names, and stack contracts, with bodies written for
+this assembler. Modules load lazily from ``asm/`` next to this file and are
+addressed the way the reference addresses them, e.g.::
+
+    use miden::core::math::u64
+    begin ... exec.u64::wrapping_add ... end
+
+Host-side event handlers that stdlib procedures rely on (e.g. the u64
+division hint, crates/lib/core/src/handlers/u64_div.rs) are provided by
+:func:`stdlib_event_handlers`.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from ..vm.assembler import Assembler
+from ..vm.events import event_id
+from ..vm.processor import ExecutionError
+
+_ASM_DIR = Path(__file__).parent / "asm"
+_NAMESPACE = "miden::core"
+
+U32_MAX = 0xFFFFFFFF
+
+
+def stdlib_modules() -> dict[str, str]:
+    """Map of module path (``miden::core::math::u64``) -> MASM source."""
+    modules: dict[str, str] = {}
+    for path in sorted(_ASM_DIR.rglob("*.masm")):
+        rel = path.relative_to(_ASM_DIR).with_suffix("")
+        name = "::".join((_NAMESPACE, *rel.parts))
+        modules[name] = path.read_text()
+    return modules
+
+
+def stdlib_assembler(**kwargs) -> Assembler:
+    """An :class:`Assembler` with every stdlib module registered."""
+    asm = Assembler(**kwargs)
+    asm.add_library(stdlib_modules())
+    return asm
+
+
+def assemble_with_stdlib(source: str, **kwargs):
+    """One-shot helper mirroring ``assemble`` with the stdlib linked."""
+    return stdlib_assembler(**kwargs).assemble_program(source)
+
+
+# ---------------------------------------------------------------------------
+# Host event handlers
+# ---------------------------------------------------------------------------
+
+
+def _limbs(processor, lo_pos: int, hi_pos: int, what: str) -> int:
+    lo, hi = processor.stack[lo_pos], processor.stack[hi_pos]
+    if lo > U32_MAX or hi > U32_MAX:
+        raise ExecutionError(f"u64_div: {what} limbs are not u32s")
+    return (hi << 32) | lo
+
+
+def handle_u64_div(processor) -> None:
+    """``miden::core::math::u64::u64_div``: push quotient and remainder of
+    a/b onto the advice stack (q_hi first, so ``adv_push.2`` leaves
+    [q_lo, q_hi] on the operand stack). Reference semantics:
+    crates/lib/core/src/handlers/u64_div.rs."""
+    b = _limbs(processor, 1, 2, "divisor")
+    a = _limbs(processor, 3, 4, "dividend")
+    if b == 0:
+        raise ExecutionError("u64_div: division by zero")
+    q, r = divmod(a, b)
+    processor.advice.stack[0:0] = [q >> 32, q & U32_MAX, r >> 32, r & U32_MAX]
+
+
+def stdlib_event_handlers() -> dict[int, object]:
+    """Event-id -> handler map to pass as ``event_handlers=`` to execute /
+    prove_program."""
+    return {
+        event_id("miden::core::math::u64::u64_div"): handle_u64_div,
+    }

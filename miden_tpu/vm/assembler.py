@@ -56,6 +56,55 @@ def _sys_event(name: str) -> list[Op]:
     return [Op("PUSH", SYSTEM_EVENT_IDS[name]), Op("EMIT"), Op("DROP")]
 
 
+# Frame-pointer memory cell (core/src/lib.rs:118-121). NB the code is
+# authoritative: FMP_ADDR = u32::MAX - 1, not the 2^32-1 the docs claim.
+FMP_ADDR = (1 << 32) - 2
+FMP_INIT = 1 << 31
+
+
+def _fmp_init() -> list[Op]:
+    """fmp_initialization_sequence (crates/assembly/src/fmp.rs:12-18).
+
+    Emitted as the prologue of every program entrypoint
+    (crates/assembly/src/assembler.rs:1341-1349)."""
+    return [Op("PUSH", FMP_INIT), Op("PUSH", FMP_ADDR), Op("MSTORE"), Op("DROP")]
+
+
+def _fmp_frame(num_locals: int, start: bool) -> list[Op]:
+    """fmp_{start,end}_frame_sequence (crates/assembly/src/fmp.rs:26-50):
+    bump the frame pointer by the word-aligned local count on entry, undo it
+    on exit."""
+    aligned = -(-num_locals // 4) * 4
+    delta = aligned % P if start else (-aligned) % P
+    return [
+        Op("PUSH", delta),
+        Op("PUSH", FMP_ADDR),
+        Op("MLOAD"),
+        Op("ADD"),
+        Op("PUSH", FMP_ADDR),
+        Op("MSTORE"),
+        Op("DROP"),
+    ]
+
+
+def _local_addr(index: int, num_locals: int, is_single: bool) -> list[Op]:
+    """local_to_absolute_addr (crates/assembly/src/instruction/mem_ops.rs:131):
+    push ``fmp - (aligned_num_locals - index)`` — locals live under the frame
+    pointer."""
+    if num_locals == 0:
+        raise AssemblyError(
+            "procedure local referenced but procedure declares no locals"
+        )
+    max_idx = num_locals - 1 if is_single else num_locals - 4
+    if index > max_idx or max_idx < 0:
+        raise AssemblyError(
+            f"local index {index} out of range for {num_locals} locals"
+        )
+    aligned = -(-num_locals // 4) * 4
+    offset = (index - aligned) % P
+    return _push_felt(offset) + [Op("PUSH", FMP_ADDR), Op("MLOAD"), Op("ADD")]
+
+
 def _reversew() -> list[Op]:
     # push_reversew (instruction/mod.rs:645)
     return _ops("MOVDN3", "SWAP", "MOVUP2")
@@ -420,6 +469,7 @@ def parse_module(path: str, source: str) -> Module:
             queue = _tokenize_line(lines[j])
             j += 1
 
+    pending_locals = 0
     while i < len(lines):
         line = lines[i]
         if not line:
@@ -427,7 +477,14 @@ def parse_module(path: str, source: str) -> Module:
             continue
         toks = _tokenize_line(line)
         head = toks[0]
-        if head == "use":
+        if head.startswith("@"):
+            # procedure attributes; `@locals(N)` declares the local-frame
+            # size of the following proc (assembly-syntax parser/cst/forms.rs)
+            m = re.match(r"@locals\((\w+)\)$", head)
+            if m:
+                pending_locals = _parse_int(m.group(1), mod.consts)
+            i += 1  # unknown attributes are ignored
+        elif head == "use":
             # `use a::b::c` (binds c) or `use a::b::c as d`
             target = toks[1]
             alias = toks[3] if len(toks) >= 4 and toks[2] == "as" else target.rsplit(
@@ -456,16 +513,18 @@ def parse_module(path: str, source: str) -> Module:
             elif "." in head:  # legacy `proc.name.locals` / `export.name.locals`
                 parts = head.split(".")
                 name = parts[1]
-                num_locals = int(parts[2]) if len(parts) > 2 else 0
+                num_locals = int(parts[2]) if len(parts) > 2 else pending_locals
                 seed = toks[1:]
                 body, i = collect_body(i + 1, seed)
                 mod.procs[name] = Proc(name, body, num_locals, exported)
+                pending_locals = 0
                 continue
             else:
                 name = re.split(r"[(\s]", toks[1], 1)[0]
             # a signature (if any) occupies the rest of the header line
             body, i = collect_body(i + 1, [])
-            mod.procs[name] = Proc(name, body, 0, exported)
+            mod.procs[name] = Proc(name, body, pending_locals, exported)
+            pending_locals = 0
         elif head == "begin":
             body, i = collect_body(i + 1, toks[1:])
             mod.entry = body
@@ -528,7 +587,9 @@ class Assembler:
                 node = ctx.compile_proc(self._kernel_mod, name)
                 digests.append(forest[node].digest)
             kernel_digests = tuple(digests)
-        root = ctx.compile_body(mod, list(mod.entry))
+        # every program entrypoint initializes the frame pointer
+        # (crates/assembly/src/assembler.rs:1341-1349)
+        root = ctx.compile_body(mod, list(mod.entry), prologue=_fmp_init())
         forest.make_root(root)
         return Program(forest, root, kernel_digests)
 
@@ -539,6 +600,7 @@ class _CompileContext:
         self.forest = forest
         self._compiled: dict[tuple[str, str], int] = {}
         self._in_progress: set[tuple[str, str]] = set()
+        self._num_locals = 0  # local-frame size of the proc being compiled
 
     # -- procedure resolution ----------------------------------------------
 
@@ -551,10 +613,21 @@ class _CompileContext:
         proc = mod.procs.get(name)
         if proc is None:
             raise AssemblyError(f"procedure {name} not found in {mod.path}")
-        if proc.num_locals:
-            raise AssemblyError("procedure locals are not supported yet")
         self._in_progress.add(key)
-        node = self.compile_body(mod, list(proc.body))
+        saved_locals = self._num_locals
+        self._num_locals = proc.num_locals
+        # BodyWrapper (crates/assembly/src/assembler.rs:1350-1356): frame
+        # allocation prologue/epilogue around procedures with locals
+        if proc.num_locals:
+            node = self.compile_body(
+                mod,
+                list(proc.body),
+                prologue=_fmp_frame(proc.num_locals, True),
+                epilogue=_fmp_frame(proc.num_locals, False),
+            )
+        else:
+            node = self.compile_body(mod, list(proc.body))
+        self._num_locals = saved_locals
         self._in_progress.discard(key)
         self._compiled[key] = node
         return node
@@ -571,8 +644,18 @@ class _CompileContext:
 
     # -- body compilation --------------------------------------------------
 
-    def compile_body(self, mod: Module, tokens: list[str]) -> int:
+    def compile_body(
+        self,
+        mod: Module,
+        tokens: list[str],
+        prologue: list[Op] | None = None,
+        epilogue: list[Op] | None = None,
+    ) -> int:
         nodes, _ = self._compile_items(mod, tokens, 0, ())
+        if prologue:
+            nodes.insert(0, self.forest.add_block(list(prologue)))
+        if epilogue:
+            nodes.append(self.forest.add_block(list(epilogue)))
         if not nodes:
             nodes = [self.forest.add_block([Op("NOOP")])]
         return self._join(nodes)
@@ -692,6 +775,16 @@ class _CompileContext:
         simple = _SIMPLE_INSTRUCTIONS.get(tok)
         if simple is not None:
             return _ops(*simple)
+        loc_suffix = _LOC_INSTRUCTIONS.get(name)
+        if loc_suffix is not None:
+            # procedure-local accesses resolve against the current frame
+            # (instruction/mem_ops.rs:28-117, env_ops.rs:110)
+            idx = iargs()[0]
+            is_single = name in ("locaddr", "loc_load", "loc_store")
+            addr = _local_addr(idx, self._num_locals, is_single)
+            if name == "loc_storew_be":
+                return _reversew() + addr + _ops("MSTOREW") + _reversew()
+            return addr + _ops(*loc_suffix)
         table = _LOWERINGS.get(name)
         if table is not None:
             return table(args, iargs, err, consts)
@@ -701,6 +794,18 @@ class _CompileContext:
 # ---------------------------------------------------------------------------
 # Instruction tables
 # ---------------------------------------------------------------------------
+
+# local-frame access: op suffix appended after the absolute-address sequence
+# (loc_storew_be needs pre/post word reversal and is special-cased)
+_LOC_INSTRUCTIONS: dict[str, tuple[str, ...]] = {
+    "locaddr": (),
+    "loc_load": ("MLOAD",),
+    "loc_store": ("MSTORE", "DROP"),
+    "loc_loadw_le": ("MLOADW",),
+    "loc_loadw_be": ("MLOADW", "MOVDN3", "SWAP", "MOVUP2"),
+    "loc_storew_le": ("MSTOREW",),
+    "loc_storew_be": (),
+}
 
 # exact-token → op-name sequence (no immediates)
 _SIMPLE_INSTRUCTIONS: dict[str, tuple[str, ...]] = {
@@ -1092,8 +1197,72 @@ def _lower_u32not(args, iargs, err, consts):
     )
 
 
-def _lower_u32clz(args, iargs, err, consts):
-    raise AssemblyError("u32clz verification sequence not supported yet")
+def _assert_le_32() -> list[Op]:
+    """[c, ...] -> [c, ...] asserting c <= 32 (also range-checks c)."""
+    return (
+        [Op("DUP0"), Op("PUSH", 32)]
+        + _ops("SWAP", "U32SUB", "SWAP", "DROP", "NOT")
+        + [_assert()]
+    )
+
+
+def _verify_clz_ops() -> list[Op]:
+    """Own nondeterminism check for clz (reference uses a leading-ones
+    bitmask, u32_ops.rs:530; ours multiplies instead): with c <= 32,
+    m = n * 2^c <= (2^32-1) * 2^32 < p fits the field exactly, and c is
+    correct iff hi32(m) == 0 and (lo32(m) >= 2^31 or (n == 0 and c == 32)).
+    [c, n] -> [c]."""
+    return (
+        _assert_le_32()
+        + _ops("DUP1", "DUP1")
+        + _pow2()
+        + _ops("MUL", "U32SPLIT", "SWAP", "EQZ")  # [m_lo, c, n] after assert
+        + [_assert(), Op("DUP0"), Op("PUSH", 1 << 31)]
+        + _ops("U32SUB", "SWAP", "DROP", "NOT")  # m_lo >= 2^31
+        + _ops("SWAP", "DROP", "MOVUP2", "EQZ")  # [n==0, ge, c]
+        + [Op("DUP2"), Op("PUSH", 32)]
+        + _ops("EQ", "AND", "OR")
+        + [_assert()]
+    )
+
+
+def _verify_ctz_ops() -> list[Op]:
+    """Own check for ctz: with c <= 32, m = n * 2^(32-c) < p; c is correct
+    iff lo32(m) == 0 and (hi32(m) odd or (n == 0 and c == 32)).
+    [c, n] -> [c]."""
+    return (
+        _assert_le_32()
+        + [Op("DUP0"), Op("PUSH", 32)]
+        + _ops("SWAP", "NEG", "ADD")  # 32 - c
+        + _pow2()
+        + _ops("DUP2", "MUL", "U32SPLIT", "EQZ")  # lo32(m) == 0
+        + [_assert(), Op("DUP0"), Op("PUSH", 2)]
+        + _ops("U32DIV", "SWAP", "DROP")  # remainder = hi32(m) & 1
+        + _ops("MOVUP3", "EQZ")  # [n==0, bit, m_hi, c]
+        + [Op("DUP3"), Op("PUSH", 32)]
+        + _ops("EQ", "AND", "OR")
+        + [_assert(), Op("DROP")]
+    )
+
+
+def _lower_u32clz_family(kind: str):
+    """u32clz/u32ctz/u32clo/u32cto: host event supplies the count, the
+    in-block sequence verifies it (u32_ops.rs:399-435; clo/cto reduce to
+    clz/ctz of the complement)."""
+
+    def lower(args, iargs, err, consts):
+        base = kind[-3:]  # clz | ctz | clo | cto
+        complement = base in ("clo", "cto")
+        verify = (
+            _verify_clz_ops() if base in ("clz", "clo") else _verify_ctz_ops()
+        )
+        out = _sys_event(f"sys::u32_{base}") + _ops("ADVPOP")
+        if complement:
+            out += _ops("SWAP") + _lower_u32not((), lambda: [], 0, consts)
+            out += _ops("SWAP")
+        return out + verify
+
+    return lower
 
 
 def _lower_ilog2(args, iargs, err, consts):
@@ -1149,10 +1318,10 @@ _LOWERINGS = {
     "u32rotr": _lower_u32rotr,
     "u32not": _lower_u32not,
     "u32popcnt": lambda a, i, e, c: _u32popcnt(),
-    "u32clz": _lower_u32clz,
-    "u32ctz": _lower_u32clz,
-    "u32clo": _lower_u32clz,
-    "u32cto": _lower_u32clz,
+    "u32clz": _lower_u32clz_family("u32clz"),
+    "u32ctz": _lower_u32clz_family("u32ctz"),
+    "u32clo": _lower_u32clz_family("u32clo"),
+    "u32cto": _lower_u32clz_family("u32cto"),
     "dup": _stack_table(_DUP_N, "dup", default=0),
     "swap": _stack_table(_SWAP_N, "swap", default=1),
     "movup": _stack_table(_MOVUP_N, "movup"),

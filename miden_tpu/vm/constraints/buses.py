@@ -218,7 +218,8 @@ def core_bus_columns(f, fl):
         BUS_CHIPLET, [28, ctx, s[0], clk, h[0], h[1], h[2], h[3]]
     )
     fmp_write = ch.msg(
-        BUS_CHIPLET, [4, ctxn, (1 << 32) - 1, clk, 1 << 31]
+        # FMP_ADDR = u32::MAX - 1 (core/src/lib.rs:121)
+        BUS_CHIPLET, [4, ctxn, (1 << 32) - 2, clk, 1 << 31]
     )
 
     # hasher requests (docs decoder/index.md §program-block-hashing):

@@ -436,9 +436,11 @@ class Processor:
             self.ctx = self.clk
             self.fn_hash = callee.digest
             # initialize the frame pointer in the new context
-            # (FMP_ADDR = 2^32−1 ← FMP_INIT = 2^31, docs decoder/index.md §CALL)
-            self.memory.setdefault((self.ctx, U32_MAX - 3), [0, 0, 0, 0])[3] = 1 << 31
-            self.mem_log.append(("we", self.ctx, U32_MAX, row_clk, [1 << 31]))
+            # (FMP_ADDR = u32::MAX−1 ← FMP_INIT = 2^31; core/src/lib.rs:118-121
+            # and processor/src/execution/call.rs:74 — the code's address, not
+            # the stale 2^32−1 in docs decoder/index.md §CALL)
+            self.memory.setdefault((self.ctx, U32_MAX - 3), [0, 0, 0, 0])[2] = 1 << 31
+            self.mem_log.append(("we", self.ctx, U32_MAX - 1, row_clk, [1 << 31]))
         self.stack = self.stack[:MIN_STACK_DEPTH]
         self.depth = MIN_STACK_DEPTH
         self.overflow_addrs = []
@@ -468,13 +470,16 @@ class Processor:
         [event_id, operands...] — the assembler emits push/emit/drop."""
         from .events import SYSTEM_EVENT_BY_ID
 
-        name = SYSTEM_EVENT_BY_ID.get(eid)
-        if name is None:
-            handler = self.event_handlers.get(eid)
-            if handler is None:
-                raise ExecutionError(f"no handler for event id {eid}")
+        # explicit host handlers take precedence, so a host can override a
+        # built-in system event (mirrors the reference host's handler
+        # registry shadowing)
+        handler = self.event_handlers.get(eid)
+        if handler is not None:
             handler(self)
             return
+        name = SYSTEM_EVENT_BY_ID.get(eid)
+        if name is None:
+            raise ExecutionError(f"no handler for event id {eid}")
         s, adv = self.stack, self.advice
         if name == "sys::merkle_node_to_stack":
             depth, index, root = s[1], s[2], tuple(s[3:7])

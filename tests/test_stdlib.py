@@ -1,0 +1,333 @@
+"""Stdlib: procedure locals, the u64 module, and sys procedures.
+
+Mirrors the reference stdlib test strategy (crates/lib/core/tests/math/
+u64_mod.rs): execute each public procedure against Python big-int ground
+truth, including boundary values, plus an end-to-end prove/verify of a
+u64-heavy program.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from miden_tpu.stdlib import (
+    assemble_with_stdlib,
+    stdlib_event_handlers,
+    stdlib_modules,
+)
+from miden_tpu.vm.assembler import AssemblyError, assemble
+from miden_tpu.vm.processor import ExecutionError, execute
+
+M32 = (1 << 32) - 1
+M64 = (1 << 64) - 1
+
+
+def limbs(v: int) -> list[int]:
+    return [v & M32, v >> 32]
+
+
+def run_u64(proc: str, inputs: list[int]) -> list[int]:
+    src = f"use miden::core::math::u64\nbegin exec.u64::{proc} end"
+    out = execute(
+        assemble_with_stdlib(src),
+        list(inputs),
+        event_handlers=stdlib_event_handlers(),
+    )
+    return out.stack
+
+
+PAIRS = [
+    (0, 0),
+    (1, 0),
+    (0, 1),
+    (M64, M64),
+    (M64, 1),
+    (1, M64),
+    (1 << 32, (1 << 32) - 1),
+    (1 << 63, 1 << 63),
+    (12345678901234567890, 987654321098765432),
+]
+random.seed(7)
+PAIRS += [(random.getrandbits(64), random.getrandbits(64)) for _ in range(6)]
+
+
+class TestU64Arithmetic:
+    def check(self, proc, ref):
+        for a, b in PAIRS:
+            exp = ref(a, b)
+            if exp is None:
+                continue
+            got = list(run_u64(proc, limbs(b) + limbs(a))[: len(exp)])
+            assert got == exp, (proc, hex(a), hex(b), got, exp)
+
+    def test_add_family(self):
+        self.check("wrapping_add", lambda a, b: limbs((a + b) & M64))
+        self.check(
+            "overflowing_add",
+            lambda a, b: [int(a + b > M64)] + limbs((a + b) & M64),
+        )
+        self.check(
+            "widening_add",
+            lambda a, b: limbs((a + b) & M64) + [int(a + b > M64)],
+        )
+
+    def test_sub_family(self):
+        self.check("wrapping_sub", lambda a, b: limbs((a - b) & M64))
+        self.check(
+            "overflowing_sub",
+            lambda a, b: [int(a < b)] + limbs((a - b) & M64),
+        )
+
+    def test_mul_family(self):
+        self.check("wrapping_mul", lambda a, b: limbs((a * b) & M64))
+        self.check(
+            "overflowing_mul",
+            lambda a, b: [int(a * b > M64)] + limbs((a * b) & M64),
+        )
+        self.check(
+            "widening_mul",
+            lambda a, b: [(a * b >> (32 * i)) & M32 for i in range(4)],
+        )
+
+    def test_comparisons(self):
+        self.check("lt", lambda a, b: [int(a < b)])
+        self.check("gt", lambda a, b: [int(a > b)])
+        self.check("lte", lambda a, b: [int(a <= b)])
+        self.check("gte", lambda a, b: [int(a >= b)])
+        self.check("eq", lambda a, b: [int(a == b)])
+        self.check("neq", lambda a, b: [int(a != b)])
+        self.check("min", lambda a, b: limbs(min(a, b)))
+        self.check("max", lambda a, b: limbs(max(a, b)))
+
+    def test_divmod(self):
+        self.check("div", lambda a, b: limbs(a // b) if b else None)
+        self.check("mod", lambda a, b: limbs(a % b) if b else None)
+        self.check(
+            "divmod",
+            lambda a, b: limbs(a % b) + limbs(a // b) if b else None,
+        )
+
+    def test_div_by_zero_rejected(self):
+        with pytest.raises(ExecutionError):
+            run_u64("div", limbs(0) + limbs(5))
+
+    def test_bitwise(self):
+        self.check("and", lambda a, b: limbs(a & b))
+        self.check("or", lambda a, b: limbs(a | b))
+        self.check("xor", lambda a, b: limbs(a ^ b))
+
+    def test_unary(self):
+        vals = [0, 1, M64, 1 << 32, (1 << 32) - 1, 0xF0F0F0F0F0F0F0F0]
+        unops = {
+            "not": lambda a: limbs(a ^ M64),
+            "eqz": lambda a: [int(a == 0)],
+            "clz": lambda a: [64 - a.bit_length()],
+            "ctz": lambda a: [(a & -a).bit_length() - 1 if a else 64],
+            "clo": lambda a: [64 - (a ^ M64).bit_length()],
+            "cto": lambda a: [
+                ((w := a ^ M64) & -w).bit_length() - 1 if a != M64 else 64
+            ],
+        }
+        for proc, ref in unops.items():
+            for a in vals:
+                exp = ref(a)
+                got = list(run_u64(proc, limbs(a))[: len(exp)])
+                assert got == exp, (proc, hex(a), got, exp)
+
+    def test_shifts(self):
+        vals = [0, 1, M64, 1 << 63, 0x123456789ABCDEF0]
+        shops = {
+            "shl": lambda a, n: limbs((a << n) & M64),
+            "shr": lambda a, n: limbs(a >> n),
+            "rotl": lambda a, n: limbs(
+                ((a << n) | (a >> (64 - n))) & M64 if n else a
+            ),
+            "rotr": lambda a, n: limbs(
+                ((a >> n) | (a << (64 - n))) & M64 if n else a
+            ),
+        }
+        for proc, ref in shops.items():
+            for a in vals:
+                for n in (0, 1, 31, 32, 33, 63):
+                    got = list(run_u64(proc, [n] + limbs(a))[:2])
+                    assert got == ref(a, n), (proc, hex(a), n)
+
+
+class TestU32ClzFamily:
+    def test_against_ground_truth(self):
+        refs = {
+            "u32clz": lambda v: 32 - v.bit_length(),
+            "u32ctz": lambda v: ((v & -v).bit_length() - 1) if v else 32,
+            "u32clo": lambda v: 32 - ((~v) & M32).bit_length(),
+            "u32cto": lambda v: (
+                ((w := (~v) & M32) & -w).bit_length() - 1 if v != M32 else 32
+            ),
+        }
+        vals = [0, 1, 2, 3, 1 << 31, M32, 0x00F0F000, 0x7FFFFFFE]
+        for instr, ref in refs.items():
+            for v in vals:
+                out = execute(assemble(f"begin push.{v} {instr} end"))
+                assert out.stack[0] == ref(v), (instr, v)
+
+    def test_bad_advice_rejected(self):
+        """A lying host (wrong clz hint) must make verification trap."""
+        from miden_tpu.vm.events import SYSTEM_EVENT_IDS
+
+        def lying(processor):
+            processor.advice.stack.insert(0, 3)  # clz(2^31) is 0, not 3
+
+        prog = assemble("begin push.2147483648 u32clz end")
+        with pytest.raises(ExecutionError):
+            execute(
+                prog,
+                event_handlers={SYSTEM_EVENT_IDS["sys::u32_clz"]: lying},
+            )
+
+
+class TestProcedureLocals:
+    def test_store_load_roundtrip(self):
+        src = """
+        @locals(6)
+        proc scratch
+            loc_store.0
+            loc_store.5
+            loc_load.0 loc_load.5 add
+            locaddr.0 locaddr.5 swap sub
+        end
+        begin push.7 push.35 exec.scratch swap end
+        """
+        out = execute(assemble(src))
+        assert out.stack[0] == 42
+        assert out.stack[1] == 5  # locals are 5 addresses apart
+
+    def test_word_locals(self):
+        src = """
+        @locals(8)
+        proc wordy
+            loc_storew_le.0 dropw
+            loc_storew_le.4 dropw
+            padw loc_loadw_le.0
+            padw loc_loadw_le.4
+        end
+        begin
+            push.1 push.2 push.3 push.4
+            push.5 push.6 push.7 push.8
+            exec.wordy
+        end
+        """
+        out = execute(assemble(src))
+        assert out.stack[:8] == [4, 3, 2, 1, 8, 7, 6, 5]
+
+    def test_nested_frames(self):
+        src = """
+        @locals(1)
+        proc inner
+            loc_store.0
+            loc_load.0 loc_load.0 mul
+        end
+        @locals(2)
+        proc outer
+            loc_store.0 loc_store.1
+            loc_load.0 exec.inner
+            loc_load.1 exec.inner
+            add
+        end
+        begin push.3 push.4 exec.outer end
+        """
+        out = execute(assemble(src))
+        assert out.stack[0] == 3 * 3 + 4 * 4
+
+    def test_local_out_of_range(self):
+        src = """
+        @locals(2)
+        proc p
+            loc_load.2
+        end
+        begin exec.p end
+        """
+        with pytest.raises(AssemblyError):
+            assemble(src)
+
+    def test_locals_in_called_context(self):
+        """Locals work inside a `call` (fresh memory context, fmp from 0)."""
+        src = """
+        @locals(2)
+        proc helper
+            loc_store.0 loc_store.1
+            loc_load.0 loc_load.1 add
+        end
+        proc callee
+            exec.helper swap drop swap drop swap drop
+        end
+        begin push.10 push.32 call.callee end
+        """
+        out = execute(assemble(src))
+        assert out.stack[0] == 42
+
+
+class TestSysModule:
+    def test_truncate_stack(self):
+        src = """
+        use miden::core::sys
+        begin
+            push.101 push.102 push.103 push.104 push.105 push.106
+            exec.sys::truncate_stack
+        end
+        """
+        out = execute(assemble_with_stdlib(src))
+        assert out.stack[:6] == [106, 105, 104, 103, 102, 101]
+
+    def test_drop_stack_top(self):
+        src = """
+        use miden::core::sys
+        begin
+            push.5 push.6
+            exec.sys::drop_stack_top
+        end
+        """
+        out = execute(assemble_with_stdlib(src))
+        assert out.stack == [0] * 16
+
+
+class TestStdlibRegistry:
+    def test_modules_discovered(self):
+        mods = stdlib_modules()
+        assert "miden::core::math::u64" in mods
+        assert "miden::core::sys" in mods
+
+
+@pytest.mark.slow
+def test_u64_program_proves_e2e():
+    """End-to-end: prove and verify a program exercising u64 stdlib ops
+    (mul, add, divmod) — the VERDICT round-1 'done' criterion for stdlib."""
+    from miden_tpu.vm.prove import prove_program, verify_program
+
+    src = """
+    use miden::core::math::u64
+    use miden::core::sys
+    begin
+        push.0xDEADBEEF push.0xCAFE
+        push.0x12345678 push.0x9ABC
+        exec.u64::wrapping_mul
+        push.12345 push.0
+        exec.u64::wrapping_add
+        push.1000003 push.0
+        exec.u64::divmod
+        exec.u64::wrapping_add
+        exec.sys::truncate_stack
+    end
+    """
+    prog = assemble_with_stdlib(src)
+    a = (0x9ABC << 32) | 0x12345678
+    b = (0xCAFE << 32) | 0xDEADBEEF
+    c = ((a * b) & M64) + 12345
+    q, r = divmod(c, 1000003)
+    expect = (q + r) & M64
+    out, proof = prove_program(
+        prog, event_handlers=stdlib_event_handlers()
+    )
+    assert out.stack[0] == expect & M32
+    assert out.stack[1] == expect >> 32
+    verify_program(proof)
