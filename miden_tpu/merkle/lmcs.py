@@ -41,35 +41,92 @@ ALIGNMENT = 8  # sponge rate; rows are zero-padded to a multiple of this
 
 @dataclass(frozen=True)
 class LmcsHash:
-    """Hash configuration for the tree: device batched sponge/compression
-    plus exact host twins (verifier leaf recompute). All width-12 algebraic
-    sponges share the rate-8/digest-4 layout, so configs are drop-in
-    (reference: per-hash LMCS types, air/src/config.rs:236-353)."""
+    """Hash configuration for the tree (reference: per-hash LMCS types,
+    air/src/config.rs:236-353).
+
+    ``leaf_digests``: device, full padded leaf matrix ``Fp (h, W)`` ->
+    ``Fp (h, 4)``. ``compress_pairs``: device ``Fp (m, 4) x 2 -> Fp (m, 4)``.
+    Host twins recompute leaves/merges for the verifier. ``algebraic``
+    configs produce canonical-felt digests (transcript-observable as 4
+    elements); byte hashes produce raw u64 words."""
 
     name: str
-    hash_blocks: object  # device (n, nblk, 8) -> (n, 4)
-    compress_pairs: object  # device (m,4),(m,4) -> (m,4)
+    leaf_digests: object
+    compress_pairs: object
     host_hash_elements: object  # list[int] -> [4]
     host_compress: object  # ([4],[4]) -> [4]
+    algebraic: bool = True
 
 
-def _poseidon2_hash() -> "LmcsHash":
+def _sponge_hash(name, hash_blocks, compress_pairs, host_hash, host_compress):
+    """Width-12 algebraic sponges share the rate-8/digest-4 layout: leaves
+    hash the row in rate-sized blocks."""
+
+    def leaf_digests(flat: Fp) -> Fp:
+        h, w = flat.shape
+        blocks = flat.reshape(h, w // ALIGNMENT, ALIGNMENT)
+        return hash_blocks(blocks)
+
+    return LmcsHash(name, leaf_digests, compress_pairs, host_hash, host_compress)
+
+
+def _byte_hash(name, dev_mod, host_mod) -> "LmcsHash":
+    """BLAKE3-256 / Keccak-256 trees: digests are 32 bytes carried as four
+    LE u64 words (arbitrary u64s, not field elements)."""
+
+    def leaf_digests(flat: Fp) -> Fp:
+        d8 = dev_mod.hash_felt_rows(flat.lo, flat.hi)  # (h, 8) u32
+        return Fp(d8[:, 0::2], d8[:, 1::2])
+
+    def compress_pairs(left: Fp, right: Fp) -> Fp:
+        import jax.numpy as _jnp
+
+        def to8(d: Fp):
+            n = d.lo.shape[0]
+            out = _jnp.zeros((n, 8), _jnp.uint32)
+            out = out.at[:, 0::2].set(d.lo.astype(_jnp.uint32))
+            return out.at[:, 1::2].set(d.hi.astype(_jnp.uint32))
+
+        d8 = dev_mod.compress_pairs(to8(left), to8(right))
+        return Fp(d8[:, 0::2], d8[:, 1::2])
+
+    def _words(digest: bytes) -> list:
+        return [
+            int.from_bytes(digest[i : i + 8], "little") for i in range(0, 32, 8)
+        ]
+
+    def _bytes(words) -> bytes:
+        return b"".join(int(w).to_bytes(8, "little") for w in words)
+
+    def host_hash_elements(elements):
+        return _words(host_mod.hash_elements(list(elements)))
+
+    def host_compress(a, b):
+        return _words(host_mod.merge(_bytes(a), _bytes(b)))
+
     return LmcsHash(
-        "poseidon2",
-        poseidon2.hash_blocks,
-        poseidon2.compress_pairs,
-        poseidon2_host.hash_elements,
-        poseidon2_host.compress,
+        name,
+        leaf_digests,
+        compress_pairs,
+        host_hash_elements,
+        host_compress,
+        algebraic=False,
     )
 
 
-POSEIDON2_HASH = _poseidon2_hash()
+POSEIDON2_HASH = _sponge_hash(
+    "poseidon2",
+    poseidon2.hash_blocks,
+    poseidon2.compress_pairs,
+    poseidon2_host.hash_elements,
+    poseidon2_host.compress,
+)
 
 
 def rpo_hash() -> "LmcsHash":
     from ..hash import rescue, rescue_host
 
-    return LmcsHash(
+    return _sponge_hash(
         "rpo256",
         rescue.rpo_hash_blocks,
         rescue.rpo_compress_pairs,
@@ -81,13 +138,34 @@ def rpo_hash() -> "LmcsHash":
 def rpx_hash() -> "LmcsHash":
     from ..hash import rescue, rescue_host
 
-    return LmcsHash(
+    return _sponge_hash(
         "rpx256",
         rescue.rpx_hash_blocks,
         rescue.rpx_compress_pairs,
         rescue_host.rpx_hash_elements_stateful,
         rescue_host.rpx_compress,
     )
+
+
+def blake3_hash() -> "LmcsHash":
+    from ..hash import blake3, blake3_host
+
+    return _byte_hash("blake3_256", blake3, blake3_host)
+
+
+def keccak_hash() -> "LmcsHash":
+    from ..hash import keccak, keccak_host
+
+    return _byte_hash("keccak256", keccak, keccak_host)
+
+
+HASH_CONFIGS = {
+    "poseidon2": lambda: POSEIDON2_HASH,
+    "rpo256": rpo_hash,
+    "rpx256": rpx_hash,
+    "blake3_256": blake3_hash,
+    "keccak256": keccak_hash,
+}
 
 
 def aligned_width(w: int) -> int:
@@ -170,30 +248,46 @@ def _lift_pad_concat(matrices: list, heights: list, max_h: int) -> Fp:
 
 import jax as _jax
 
-
-@_jax.jit
-def _commit_dev(matrices: tuple) -> tuple:
-    """Lift+pad+concat, leaf-hash, and fold every Merkle layer in ONE
-    compiled program (one device dispatch per tree)."""
-    matrices = list(matrices)
-    heights = [m.shape[0] for m in matrices]
-    max_h = max(heights)
-    flat = _lift_pad_concat(matrices, heights, max_h)
-    total_w = flat.shape[1]
-    blocks = flat.reshape(max_h, total_w // ALIGNMENT, ALIGNMENT)
-    leaves = poseidon2.hash_blocks(blocks)  # (max_h, 4)
-    layers = [leaves]
-    cur = leaves
-    while cur.shape[0] > 1:
-        n = cur.shape[0]
-        left = Fp(cur.lo.reshape(n // 2, 2, 4)[:, 0], cur.hi.reshape(n // 2, 2, 4)[:, 0])
-        right = Fp(cur.lo.reshape(n // 2, 2, 4)[:, 1], cur.hi.reshape(n // 2, 2, 4)[:, 1])
-        cur = poseidon2.compress_pairs(left, right)
-        layers.append(cur)
-    return tuple(layers)
+_COMMIT_FNS: dict = {}
 
 
-def build_tree(matrices: Sequence[Fp]) -> LmcsTree:
+def _commit_fn(h: LmcsHash):
+    """Per-hash jitted commit: lift+pad+concat, leaf-hash, and fold every
+    Merkle layer in ONE compiled program (one device dispatch per tree)."""
+    fn = _COMMIT_FNS.get(h.name)
+    if fn is not None:
+        return fn
+
+    @_jax.jit
+    def commit(matrices: tuple) -> tuple:
+        matrices = list(matrices)
+        heights = [m.shape[0] for m in matrices]
+        max_h = max(heights)
+        flat = _lift_pad_concat(matrices, heights, max_h)
+        leaves = h.leaf_digests(flat)  # (max_h, 4)
+        layers = [leaves]
+        cur = leaves
+        while cur.shape[0] > 1:
+            n = cur.shape[0]
+            left = Fp(
+                cur.lo.reshape(n // 2, 2, 4)[:, 0],
+                cur.hi.reshape(n // 2, 2, 4)[:, 0],
+            )
+            right = Fp(
+                cur.lo.reshape(n // 2, 2, 4)[:, 1],
+                cur.hi.reshape(n // 2, 2, 4)[:, 1],
+            )
+            cur = h.compress_pairs(left, right)
+            layers.append(cur)
+        return tuple(layers)
+
+    _COMMIT_FNS[h.name] = commit
+    return commit
+
+
+def build_tree(
+    matrices: Sequence[Fp], hash: LmcsHash = POSEIDON2_HASH
+) -> LmcsTree:
     """Commit to matrices (natural domain order, heights powers of two).
 
     All heights must divide the max height. The entire commitment — leaf
@@ -205,7 +299,7 @@ def build_tree(matrices: Sequence[Fp]) -> LmcsTree:
     max_h = max(heights)
     for h in heights:
         assert max_h % h == 0 and (h & (h - 1)) == 0, "heights must be powers of two"
-    layers = list(_commit_dev(tuple(matrices)))
+    layers = list(_commit_fn(hash)(tuple(matrices)))
     return LmcsTree(matrices=matrices, heights=heights, widths=widths, layers=layers)
 
 
@@ -350,6 +444,7 @@ def verify_batch(
     max_height: int,
     indices: Sequence[int],
     channel,
+    hash: LmcsHash = POSEIDON2_HASH,
 ) -> dict:
     """Verifier side of :func:`prove_batch`.
 
@@ -370,7 +465,7 @@ def verify_batch(
             stream.extend(row)
             rows.append(np.asarray(row[:w], dtype=np.uint64))
         rows_by_index[d] = rows
-        leaf_digest[d] = tuple(poseidon2_host.hash_elements([int(v) for v in stream]))
+        leaf_digest[d] = tuple(hash.host_hash_elements([int(v) for v in stream]))
 
     nodes = {(0, d): leaf_digest[d] for d in indices}
     frontier = indices
@@ -385,7 +480,7 @@ def verify_batch(
             left = nodes[(level, 2 * p)]
             right = nodes[(level, 2 * p + 1)]
             nodes[(level + 1, p)] = tuple(
-                poseidon2_host.compress(list(left), list(right))
+                hash.host_compress(list(left), list(right))
             )
         frontier = next_frontier
     root = nodes[(depth, 0)]

@@ -18,11 +18,22 @@ class PcsParams:
     deep_pow_bits: int = 12
     num_queries: int = 27
     query_pow_bits: int = 16
+    #: LMCS commitment hash (reference ships one StarkConfig per hash,
+    #: air/src/config.rs:236-353). The full pipeline requires an algebraic
+    #: hash (canonical-felt digests in the transcript): poseidon2 / rpo256 /
+    #: rpx256.
+    hash_name: str = "poseidon2"
 
     def __post_init__(self):
         assert 1 <= self.log_blowup <= 31
         assert self.log_folding_arity in (1, 2, 3)
         assert self.num_queries > 0
+        assert self.hash_name in ("poseidon2", "rpo256", "rpx256")
+
+    def lmcs_hash(self):
+        from ..merkle.lmcs import HASH_CONFIGS
+
+        return HASH_CONFIGS[self.hash_name]()
 
     @property
     def blowup(self) -> int:

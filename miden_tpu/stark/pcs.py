@@ -413,7 +413,7 @@ def fri_commit(params: PcsParams, domain: LiftedDomain, evals: Fp2, channel) -> 
         n_rows = size >> log_arity
         with span("FRI round commit", rows=n_rows):
             mat, mat_base = _fri_round_prep(log_arity, cur)
-            tree = lmcs.build_tree([mat_base])
+            tree = lmcs.build_tree([mat_base], hash=params.lmcs_hash())
         channel.send_commitment(tree.root_dev())
         channel.grind(params.folding_pow_bits)
         beta = channel.sample_ext()

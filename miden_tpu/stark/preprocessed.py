@@ -72,7 +72,7 @@ def build_preprocessed(statement, params: PcsParams):
         n = t.shape[0]
         shift = gl.canonical_lde_shift((n.bit_length() - 1) + params.log_blowup)
         ldes.append(ntt.coset_lde_jit(fp_from_u64(t), params.log_blowup, shift))
-    tree = lmcs.build_tree(ldes)
+    tree = lmcs.build_tree(ldes, hash=params.lmcs_hash())
     return Preprocessed(traces=traces, tree=tree, order=[i for i, _ in pairs])
 
 

@@ -98,7 +98,9 @@ def _ext_const_vec(v: tuple, shape) -> Fp2:
     )
 
 
-def commit_traces(matrices: list, log_blowup: int) -> lmcs.LmcsTree:
+def commit_traces(
+    matrices: list, log_blowup: int, hash=lmcs.POSEIDON2_HASH
+) -> lmcs.LmcsTree:
     """LDE each trace on its canonical coset and commit into one tree.
 
     Accepts host numpy u64 matrices or device-resident ``Fp`` matrices
@@ -127,11 +129,15 @@ def commit_traces(matrices: list, log_blowup: int) -> lmcs.LmcsTree:
             ldes.append(coset_lde_sharded(mf, log_blowup, shift, mesh))
         else:
             ldes.append(ntt.coset_lde_jit(mf, log_blowup, shift))
-    if mesh is not None and (max_n << log_blowup) % d == 0:
+    if (
+        mesh is not None
+        and (max_n << log_blowup) % d == 0
+        and hash.name == "poseidon2"
+    ):
         from ..dist.lmcs_dist import build_tree_sharded
 
         return build_tree_sharded(ldes, mesh)
-    return lmcs.build_tree(ldes)
+    return lmcs.build_tree(ldes, hash=hash)
 
 
 def _periodic_on_domain(pattern, n, log_d, shift) -> Fp:
@@ -420,7 +426,11 @@ def _quotient_chunks_dev(acc: Fp2, domain: LiftedDomain, log_d: int, log_blowup:
 
 
 def commit_quotient(
-    acc: Fp2, domain: LiftedDomain, log_d: int, log_blowup: int
+    acc: Fp2,
+    domain: LiftedDomain,
+    log_d: int,
+    log_blowup: int,
+    hash=lmcs.POSEIDON2_HASH,
 ) -> lmcs.LmcsTree:
     """Split Q (evals over (s_K, N·D)) into D contiguous degree-<N chunks and
     commit their LDEs on (s_K, N·B) as one 2D-column matrix
@@ -429,11 +439,15 @@ def commit_quotient(
 
     chunks = _quotient_chunks_dev(acc, domain, log_d, log_blowup)
     mesh = active_mesh()
-    if mesh is not None and chunks.shape[0] % mesh.devices.size == 0:
+    if (
+        mesh is not None
+        and chunks.shape[0] % mesh.devices.size == 0
+        and hash.name == "poseidon2"
+    ):
         from ..dist.lmcs_dist import build_tree_sharded
 
         return build_tree_sharded([chunks], mesh)
-    return lmcs.build_tree([chunks])
+    return lmcs.build_tree([chunks], hash=hash)
 
 
 def _fp2_stack(scalars: list) -> Fp2:
@@ -502,6 +516,7 @@ def prove(
     airs = statement.multi_air.airs
     assert len(airs) == len(traces)
     log_blowup = params.log_blowup
+    hash_cfg = params.lmcs_hash()
     log_heights = [t.shape[0].bit_length() - 1 for t in traces]
     for t, a in zip(traces, airs):
         assert tuple(t.shape) == (1 << (t.shape[0].bit_length() - 1), a.width)
@@ -537,7 +552,9 @@ def prove(
 
     # 1. Commit main traces (proof order).
     with span("commit to main traces"):
-        main_tree = commit_traces([traces[i] for i in order], log_blowup)
+        main_tree = commit_traces(
+            [traces[i] for i in order], log_blowup, hash=hash_cfg
+        )
     channel.send_commitment(main_tree.root_dev())
 
     # 2. Randomness → aux traces (built in instance order) → external
@@ -601,7 +618,7 @@ def prove(
                 fp_from_u64(np.ascontiguousarray(aux_t.reshape(n, 2 * aw)))
             )
     with span("commit to aux traces"):
-        aux_tree = commit_traces(aux_flat, log_blowup)
+        aux_tree = commit_traces(aux_flat, log_blowup, hash=hash_cfg)
     channel.send_commitment(aux_tree.root_dev())
     aux_values = [aux_values_inst[i] for i in order]
     for vals in aux_values:
@@ -649,7 +666,9 @@ def prove(
             acc = _accumulate_step(reps, acc, q, beta)
     # 5. Commit quotient.
     with span("commit to quotient poly chunks"):
-        quotient_tree = commit_quotient(acc, max_domain, log_d, log_blowup)
+        quotient_tree = commit_quotient(
+            acc, max_domain, log_d, log_blowup, hash=hash_cfg
+        )
     channel.send_commitment(quotient_tree.root_dev())
 
     # 6. OOD point + PCS opening at [z, z·ω_H].

@@ -71,6 +71,7 @@ def verify(
     preprocessed columns (verifier/mod.rs:101-119); observed into
     Fiat-Shamir before the statement, never read from the proof."""
     airs = statement.multi_air.airs
+    hash_cfg = params.lmcs_hash()
     expected_pp = any(a.preprocessed_width > 0 for a in airs)
     if (preprocessed_commitment is not None) != expected_pp:
         raise VerificationError(
@@ -201,7 +202,8 @@ def verify(
     for root, widths, heights in zip(tree_roots, tree_widths, tree_heights):
         max_h = max(heights)
         rows = lmcs.verify_batch(
-            root, widths, max_h, [d % max_h for d in indices], ch
+            root, widths, max_h, [d % max_h for d in indices], ch,
+            hash=hash_cfg,
         )
         opened.append((rows, heights))
     fri_opened = []
@@ -209,7 +211,9 @@ def verify(
     for r, root in enumerate(fri_roots):
         size >>= log_arity
         idx = sorted({d % size for d in indices})
-        rows = lmcs.verify_batch(root, [2 * arity], size, idx, ch)
+        rows = lmcs.verify_batch(
+            root, [2 * arity], size, idx, ch, hash=hash_cfg
+        )
         fri_opened.append(rows)
 
     # ------------------------------------------------------------------

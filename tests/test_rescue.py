@@ -85,6 +85,7 @@ def test_inv_sbox_is_sbox_inverse():
     assert _inv_sbox(_sbox(s)) == s
 
 
+@pytest.mark.slow  # tracing+lowering the 7-round limb graph takes ~30 s/hash on CPU
 @pytest.mark.parametrize("which", ["rpo", "rpx"])
 def test_device_permutation_matches_host(which):
     rng = np.random.default_rng(5)

@@ -302,32 +302,33 @@ class TestStdlibRegistry:
 def test_u64_program_proves_e2e():
     """End-to-end: prove and verify a program exercising u64 stdlib ops
     (mul, add, divmod) — the VERDICT round-1 'done' criterion for stdlib."""
+    from miden_tpu.stark.params import TEST_PARAMS
     from miden_tpu.vm.prove import prove_program, verify_program
 
     src = """
     use miden::core::math::u64
     use miden::core::sys
     begin
-        push.0xDEADBEEF push.0xCAFE
-        push.0x12345678 push.0x9ABC
+        push.0xCAFE push.0xDEADBEEF
+        push.0x9ABC push.0x12345678
         exec.u64::wrapping_mul
-        push.12345 push.0
+        push.0 push.12345
         exec.u64::wrapping_add
-        push.1000003 push.0
+        push.0 push.1000003
         exec.u64::divmod
         exec.u64::wrapping_add
         exec.sys::truncate_stack
     end
     """
     prog = assemble_with_stdlib(src)
-    a = (0x9ABC << 32) | 0x12345678
-    b = (0xCAFE << 32) | 0xDEADBEEF
+    a = (0xCAFE << 32) | 0xDEADBEEF
+    b = (0x9ABC << 32) | 0x12345678
     c = ((a * b) & M64) + 12345
     q, r = divmod(c, 1000003)
     expect = (q + r) & M64
     out, proof = prove_program(
-        prog, event_handlers=stdlib_event_handlers()
+        prog, params=TEST_PARAMS, event_handlers=stdlib_event_handlers()
     )
     assert out.stack[0] == expect & M32
     assert out.stack[1] == expect >> 32
-    verify_program(proof)
+    verify_program(proof, params=TEST_PARAMS)
