@@ -40,9 +40,14 @@ def _host_fingerprint() -> str:
 _cache_dir = _os.environ.get(
     "MIDEN_TPU_JAX_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
 )
-if "cpu" in _os.environ.get("JAX_PLATFORMS", "") or (
-    _jax.config.jax_platforms and "cpu" in _jax.config.jax_platforms
-):
+# Namespace per host ONLY when the *primary* platform is CPU. The platform
+# list is priority-ordered ("axon,cpu" means TPU with CPU fallback), so a
+# substring test would wrongly send TPU executables — which have no host-CPU
+# dependence and should be shared — into the per-host namespace, making the
+# cache cold for every new process on a different host (the round-2 bench
+# paid ~1500 s of recompilation per process because of exactly this).
+_plat = _os.environ.get("JAX_PLATFORMS") or (_jax.config.jax_platforms or "")
+if _plat.split(",")[0].strip() == "cpu":
     _cache_dir = _os.path.join(_cache_dir, "cpu-" + _host_fingerprint())
 try:
     _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))

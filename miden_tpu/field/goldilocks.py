@@ -425,19 +425,32 @@ def fp_powers(base: int, n: int, shift: int = 1) -> Fp:
     """Device array ``[shift, shift*base, ..., shift*base^(n-1)]``.
 
     Built with log2(n) masked multiplies from the binary expansion of the
-    index, so no O(n) host loop is needed for large domains.
+    index (no O(n) host loop), run under ``lax.scan`` so the compiled
+    program holds ONE multiply body — each unrolled field multiply costs
+    ~100 HLO ops and XLA compiles these graphs at only ~10^2 ops/s, so the
+    unrolled form was a measurable compile-time tax at every call site.
+    ``base`` is a host int: the per-step factors b^(2^k) are precomputed
+    exactly on host and scanned over.
     """
     assert n > 0
     log_n = max(1, (n - 1).bit_length())
     idx = jnp.arange(n, dtype=U32)
-    acc = fp_const(shift % gl.P, (n,))
     b = base % gl.P
-    for bit in range(log_n):
-        factor = fp_const(b, ())
+    factors = []
+    for _ in range(log_n):
+        factors.append(b)
+        b = (b * b) % gl.P
+    factors_fp = fp_from_u64(np.asarray(factors, dtype=np.uint64))
+    bits = jnp.arange(log_n, dtype=U32)
+
+    def step(acc: Fp, xs):
+        factor, bit = xs
         stepped = fp_mul(acc, fp_broadcast_to(factor, (n,)))
         use = ((idx >> bit) & 1).astype(bool)
-        acc = fp_where(use, stepped, acc)
-        b = (b * b) % gl.P
+        return fp_where(use, stepped, acc), None
+
+    acc0 = fp_const(shift % gl.P, (n,))
+    acc, _ = jax.lax.scan(step, acc0, (factors_fp, bits))
     return acc
 
 
@@ -567,16 +580,20 @@ def fp2_broadcast_to(x: Fp2, shape) -> Fp2:
 
 def fp2_powers(base: Fp2, n: int) -> Fp2:
     """Powers ``[1, base, ..., base^(n-1)]`` of a runtime extension scalar,
-    built with log2(n) masked multiplies (no O(n) unrolled chain)."""
+    built with log2(n) masked multiplies under ``lax.scan`` (one multiply
+    body compiled — see fp_powers)."""
     assert n > 0
+    log_n = max(1, (n - 1).bit_length())
     idx = jnp.arange(n, dtype=U32)
-    acc = fp2_ones((n,))
-    b = base
-    for bit in range(max(1, (n - 1).bit_length())):
+    bits = jnp.arange(log_n, dtype=U32)
+
+    def step(carry, bit):
+        acc, b = carry
         stepped = fp2_mul(acc, fp2_broadcast_to(b, (n,)))
         use = ((idx >> bit) & 1).astype(bool)
-        acc = fp2_where(use, stepped, acc)
-        b = fp2_mul(b, b)
+        return (fp2_where(use, stepped, acc), fp2_mul(b, b)), None
+
+    (acc, _b), _ = jax.lax.scan(step, (fp2_ones((n,)), base), bits)
     return acc
 
 

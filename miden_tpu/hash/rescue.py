@@ -39,8 +39,11 @@ _ARK2_DEV = None
 def _arks():
     global _ARK1_DEV, _ARK2_DEV
     if _ARK1_DEV is None:
-        _ARK1_DEV = fp_from_u64(np.asarray(RC.ARK1, dtype=np.uint64))
-        _ARK2_DEV = fp_from_u64(np.asarray(RC.ARK2, dtype=np.uint64))
+        # ensure_compile_time_eval: first call may happen under a jit trace;
+        # the cached arrays must be concrete, not leaked tracers
+        with jax.ensure_compile_time_eval():
+            _ARK1_DEV = fp_from_u64(np.asarray(RC.ARK1, dtype=np.uint64))
+            _ARK2_DEV = fp_from_u64(np.asarray(RC.ARK2, dtype=np.uint64))
     return _ARK1_DEV, _ARK2_DEV
 
 
@@ -142,17 +145,35 @@ def _ext_round(rows: list, r: int) -> list:
     return out
 
 
+def _mds_arr(s: Fp) -> Fp:
+    """Circulant MDS on the whole (12, n) state: out[i] = Σ_k c_k·s[(i+k)%12]
+    — 12 shift-and-add multiplies instead of 144 per-lane ones (each traced
+    field multiply costs ~10²  HLO ops; XLA compiles at ~10² ops/s, so round
+    bodies must stay lean)."""
+    import jax.numpy as jnp
+
+    acc = None
+    for k in range(12):
+        c = RC.MDS_ROW0[k]
+        if c == 0:
+            continue
+        rolled = Fp(jnp.roll(s.lo, -k, axis=0), jnp.roll(s.hi, -k, axis=0))
+        term = fp_mul_small(rolled, c)
+        acc = term if acc is None else fp_add(acc, term)
+    return acc
+
+
+def _add_ark_arr(s: Fp, ark_row: Fp) -> Fp:
+    return fp_add(s, Fp(ark_row.lo[:, None], ark_row.hi[:, None]))
+
+
 def _fb_round_arr(state: Fp, ark1_row: Fp, ark2_row: Fp) -> Fp:
     """One FB round on a (12, n) state with (12,) ARK rows (array form, used
     inside the round scan)."""
-    rows = _rows(state)
-    rows = _mds(rows)
-    rows = [fp_add(rows[i], Fp(ark1_row.lo[i], ark1_row.hi[i])) for i in range(12)]
-    rows = [_sbox7(x) for x in rows]
-    rows = _mds(rows)
-    rows = [fp_add(rows[i], Fp(ark2_row.lo[i], ark2_row.hi[i])) for i in range(12)]
-    rows = _inv_sbox(rows)
-    return fp_stack(rows, axis=0)
+    s = _add_ark_arr(_mds_arr(state), ark1_row)
+    s = _sbox7(s)
+    s = _add_ark_arr(_mds_arr(s), ark2_row)
+    return _inv_sbox_state(s)
 
 
 @jax.jit
@@ -174,12 +195,20 @@ def rpo_permute(state: Fp) -> Fp:
 
 
 def _ext_round_arr(state: Fp, ark_row: Fp) -> Fp:
-    rows = _rows(state)
-    s = [fp_add(rows[i], Fp(ark_row.lo[i], ark_row.hi[i])) for i in range(12)]
-    out = []
-    for b in (0, 3, 6, 9):
-        out.extend(_c3_pow7((s[b], s[b + 1], s[b + 2])))
-    return fp_stack(out, axis=0)
+    """E round on (12, n): the four 3-lane cubic-extension x^7 maps run
+    vectorized across groups — view (4, 3, n), one _c3_pow7 on (4, n)
+    components instead of four scalar-group copies."""
+    n = state.shape[-1]
+    s = _add_ark_arr(state, ark_row)
+    g = s.reshape(4, 3, n)
+    a = (Fp(g.lo[:, 0], g.hi[:, 0]), Fp(g.lo[:, 1], g.hi[:, 1]),
+         Fp(g.lo[:, 2], g.hi[:, 2]))
+    c0, c1, c2 = _c3_pow7(a)
+    import jax.numpy as jnp
+
+    lo = jnp.stack([c0.lo, c1.lo, c2.lo], axis=1).reshape(12, n)
+    hi = jnp.stack([c0.hi, c1.hi, c2.hi], axis=1).reshape(12, n)
+    return Fp(lo, hi)
 
 
 @jax.jit
@@ -188,10 +217,11 @@ def rpx_permute(state: Fp) -> Fp:
     (FB)(E)(FB)(E)(FB)(E)(M), the (FB)(E) pairs scanned (see rpo_permute)."""
     assert state.shape[0] == 12
     ark1, ark2 = _arks()
-    jnp_idx = [0, 2, 4]
-    fb1 = Fp(ark1.lo[jnp_idx], ark1.hi[jnp_idx])
-    fb2 = Fp(ark2.lo[jnp_idx], ark2.hi[jnp_idx])
-    ex1 = Fp(ark1.lo[[1, 3, 5]], ark1.hi[[1, 3, 5]])
+    fb_idx = np.asarray([0, 2, 4])
+    ex_idx = np.asarray([1, 3, 5])
+    fb1 = Fp(ark1.lo[fb_idx], ark1.hi[fb_idx])
+    fb2 = Fp(ark2.lo[fb_idx], ark2.hi[fb_idx])
+    ex1 = Fp(ark1.lo[ex_idx], ark1.hi[ex_idx])
 
     def body(st: Fp, arks):
         a1, a2, e1 = arks
@@ -200,8 +230,7 @@ def rpx_permute(state: Fp) -> Fp:
         return st, None
 
     st, _ = jax.lax.scan(body, state, (fb1, fb2, ex1))
-    rows = _add_ark(_mds(_rows(st)), ark1, 6)
-    return fp_stack(rows, axis=0)
+    return _add_ark_arr(_mds_arr(st), Fp(ark1.lo[6], ark1.hi[6]))
 
 
 # --- LMCS sponge wrappers (StatefulSponge overwrite-mode semantics, the

@@ -32,7 +32,7 @@ from typing import Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from ..field.goldilocks import Fp, fp_from_u64, fp_to_u64
+from ..field.goldilocks import Fp, fp_concat, fp_from_u64, fp_to_u64
 from ..hash import poseidon2
 from ..hash import poseidon2_host
 
@@ -56,9 +56,13 @@ class LmcsHash:
     host_hash_elements: object  # list[int] -> [4]
     host_compress: object  # ([4],[4]) -> [4]
     algebraic: bool = True
+    #: batched width-12 permutation ``Fp (12, n) -> Fp (12, n)`` for
+    #: algebraic sponges — drives the incremental (streaming) leaf absorb.
+    permute: object = None
 
 
-def _sponge_hash(name, hash_blocks, compress_pairs, host_hash, host_compress):
+def _sponge_hash(name, hash_blocks, compress_pairs, host_hash, host_compress,
+                 permute=None):
     """Width-12 algebraic sponges share the rate-8/digest-4 layout: leaves
     hash the row in rate-sized blocks."""
 
@@ -67,7 +71,10 @@ def _sponge_hash(name, hash_blocks, compress_pairs, host_hash, host_compress):
         blocks = flat.reshape(h, w // ALIGNMENT, ALIGNMENT)
         return hash_blocks(blocks)
 
-    return LmcsHash(name, leaf_digests, compress_pairs, host_hash, host_compress)
+    return LmcsHash(
+        name, leaf_digests, compress_pairs, host_hash, host_compress,
+        permute=permute,
+    )
 
 
 def _byte_hash(name, dev_mod, host_mod) -> "LmcsHash":
@@ -179,12 +186,33 @@ class LmcsTree:
     ``matrices``: the committed matrices (natural domain order, device Fp).
     ``layers``: digest layers bottom-up; ``layers[0]`` has ``height`` leaf
     digests, ``layers[-1]`` is the root. Device Fp of shape ``(m, 4)``.
+
+    Registered as a JAX pytree (heights/widths are static aux data) so whole
+    trees can cross ``jax.jit`` boundaries — the fused prover phases return
+    them directly.
     """
 
     matrices: list
     heights: list
     widths: list
     layers: list
+
+    def tree_flatten(self):
+        return (tuple(self.matrices), tuple(self.layers)), (
+            tuple(self.heights),
+            tuple(self.widths),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        matrices, layers = children
+        heights, widths = aux
+        return cls(
+            matrices=list(matrices),
+            heights=list(heights),
+            widths=list(widths),
+            layers=list(layers),
+        )
 
     @property
     def height(self) -> int:
@@ -248,12 +276,135 @@ def _lift_pad_concat(matrices: list, heights: list, max_h: int) -> Fp:
 
 import jax as _jax
 
+_jax.tree_util.register_pytree_node_class(LmcsTree)
+
 _COMMIT_FNS: dict = {}
 
 
+_TOP_FOLD = 1024  # fold layers at/below this size in one scanned loop
+
+
+def _split_pairs(cur: Fp):
+    n = cur.shape[0]
+    return (
+        Fp(cur.lo.reshape(n // 2, 2, 4)[:, 0], cur.hi.reshape(n // 2, 2, 4)[:, 0]),
+        Fp(cur.lo.reshape(n // 2, 2, 4)[:, 1], cur.hi.reshape(n // 2, 2, 4)[:, 1]),
+    )
+
+
+def _fold_layers(h: LmcsHash, leaves: Fp) -> tuple:
+    """Digest layers bottom-up from the leaf layer.
+
+    Large layers fold one compiled compress per level (runtime-optimal);
+    everything at/below ``_TOP_FOLD`` leaves runs in ONE ``lax.scan`` over a
+    fixed ``(1024, 4)`` buffer — a single compress body compiled once and
+    shared by every tree shape (XLA compiles each scanned permutation in
+    ~0.5–2 s, and per-level unrolling was the dominant compile cost of the
+    whole pipeline). The masked tail work is ≤ 10 × 512 extra permutations
+    per tree — noise next to leaf hashing."""
+    import jax.numpy as jnp
+
+    layers = [leaves]
+    cur = leaves
+    while cur.shape[0] > _TOP_FOLD:
+        left, right = _split_pairs(cur)
+        cur = h.compress_pairs(left, right)
+        layers.append(cur)
+
+    n = cur.shape[0]
+    if n == 1:
+        return tuple(layers)
+    # pad up to the fixed buffer size (zeros are canonical field elements,
+    # so the dead lanes stay well-defined through the permutation)
+    pad = _TOP_FOLD - n
+    buf = cur
+    if pad:
+        buf = Fp(
+            jnp.pad(cur.lo, [(0, pad), (0, 0)]),
+            jnp.pad(cur.hi, [(0, pad), (0, 0)]),
+        )
+
+    def body(b: Fp, _):
+        left, right = _split_pairs(b)
+        out = h.compress_pairs(left, right)  # (512, 4)
+        nxt = Fp(
+            jnp.concatenate([out.lo, jnp.zeros_like(out.lo)], axis=0),
+            jnp.concatenate([out.hi, jnp.zeros_like(out.hi)], axis=0),
+        )
+        return nxt, out
+
+    log_top = _TOP_FOLD.bit_length() - 1  # 10
+    _, outs = _jax.lax.scan(body, buf, None, length=log_top)
+    # live slices per level: level j+1 of this sub-tree has n >> (j+1) nodes
+    k = n.bit_length() - 1
+    for j in range(k):
+        live = n >> (j + 1)
+        layers.append(Fp(outs.lo[j, :live], outs.hi[j, :live]))
+    return tuple(layers)
+
+
+def _sponge_leaves_incremental(matrices: list, heights: list, max_h: int) -> Fp:
+    """Leaf digests via an incremental overwrite-mode Poseidon2-style sponge,
+    WITHOUT materializing the lifted + padded column concat.
+
+    The concat form needs ``max_h × Σ aligned_w`` elements live at once —
+    ~6 GB at the 2^20 contract size (2^23 LDE rows × ~96 aligned cols × 2
+    limbs) on a 16 GB chip. Here the sponge state ``(12, max_h)`` absorbs
+    each matrix's rate-8 column blocks in sequence: full blocks are sliced
+    out of the (unpadded) matrix under ``lax.fori_loop`` — one permutation
+    body compiled per matrix, one ``(h, 8)`` slice live per step — and the
+    ragged tail block is padded separately. Bit-identical to hashing the
+    concat since every aligned width is a multiple of the rate.
+    """
+    import jax.numpy as jnp
+
+    from ..field.goldilocks import fp_zeros
+    from ..hash import poseidon2
+
+    state = fp_zeros((12, max_h))
+
+    def absorb(state: Fp, chunk: Fp, reps: int) -> Fp:
+        # chunk: (h, 8) natural rows; lift to (max_h, 8) by cyclic repetition
+        lo, hi = chunk.lo, chunk.hi
+        if reps > 1:
+            lo = jnp.tile(lo, (reps, 1))
+            hi = jnp.tile(hi, (reps, 1))
+        s = fp_concat([Fp(lo.T, hi.T), state[8:12]], axis=0)
+        return poseidon2.permute(s)
+
+    for m, h in zip(matrices, heights):
+        w = m.shape[1]
+        if w == 0:
+            continue
+        reps = max_h // h
+        nb_full = w // ALIGNMENT
+        if nb_full:
+            def body(i, st, m=m, h=h, reps=reps):
+                chunk = Fp(
+                    _jax.lax.dynamic_slice(m.lo, (0, i * ALIGNMENT), (h, ALIGNMENT)),
+                    _jax.lax.dynamic_slice(m.hi, (0, i * ALIGNMENT), (h, ALIGNMENT)),
+                )
+                return absorb(st, chunk, reps)
+
+            state = _jax.lax.fori_loop(0, nb_full, body, state)
+        tail = w - nb_full * ALIGNMENT
+        if tail:
+            pad = [(0, 0), (0, ALIGNMENT - tail)]
+            chunk = Fp(
+                jnp.pad(m.lo[:, nb_full * ALIGNMENT :], pad),
+                jnp.pad(m.hi[:, nb_full * ALIGNMENT :], pad),
+            )
+            state = absorb(state, chunk, reps)
+    digest = state[0:4]
+    return Fp(digest.lo.T, digest.hi.T)
+
+
 def _commit_fn(h: LmcsHash):
-    """Per-hash jitted commit: lift+pad+concat, leaf-hash, and fold every
-    Merkle layer in ONE compiled program (one device dispatch per tree)."""
+    """Per-hash jitted commit: leaf-hash + every Merkle layer in ONE
+    compiled program (one device dispatch per tree). Algebraic sponge
+    configs stream the leaf absorption (no lifted-concat materialization);
+    byte hashes keep the concat form (their device kernels consume whole
+    rows)."""
     fn = _COMMIT_FNS.get(h.name)
     if fn is not None:
         return fn
@@ -263,23 +414,12 @@ def _commit_fn(h: LmcsHash):
         matrices = list(matrices)
         heights = [m.shape[0] for m in matrices]
         max_h = max(heights)
-        flat = _lift_pad_concat(matrices, heights, max_h)
-        leaves = h.leaf_digests(flat)  # (max_h, 4)
-        layers = [leaves]
-        cur = leaves
-        while cur.shape[0] > 1:
-            n = cur.shape[0]
-            left = Fp(
-                cur.lo.reshape(n // 2, 2, 4)[:, 0],
-                cur.hi.reshape(n // 2, 2, 4)[:, 0],
-            )
-            right = Fp(
-                cur.lo.reshape(n // 2, 2, 4)[:, 1],
-                cur.hi.reshape(n // 2, 2, 4)[:, 1],
-            )
-            cur = h.compress_pairs(left, right)
-            layers.append(cur)
-        return tuple(layers)
+        if h.algebraic:
+            leaves = _sponge_leaves_incremental(matrices, heights, max_h)
+        else:
+            flat = _lift_pad_concat(matrices, heights, max_h)
+            leaves = h.leaf_digests(flat)  # (max_h, 4)
+        return _fold_layers(h, leaves)
 
     _COMMIT_FNS[h.name] = commit
     return commit
@@ -420,6 +560,96 @@ def gather_openings_dev(tree: LmcsTree, indices: Sequence[int]):
         jnp.concatenate([rows_hi] + ([sib_hi] if sib_hi is not None else [])),
     )
     return flat, (len(indices), aws, len(sched))
+
+
+@_jax.jit
+def _gather_query_data(matrices: tuple, heights: tuple, layers: tuple, idx):
+    """One jitted gather per tree: the (q,) raw query indices (device
+    int32, duplicates allowed) select every matrix row and the FULL
+    Merkle sibling path per query — value-independent shapes, so the
+    executable is reused across proofs (the deduplicated gather of
+    gather_openings_dev re-dispatched ~40 eager ops per tree per proof,
+    ~5 ms each over the tunnel). Returns one flat Fp buffer:
+    [rows per matrix (q·aw)...][sibling paths (depth·q·4)]."""
+    import jax.numpy as jnp
+
+    parts_lo, parts_hi = [], []
+    for m, h in zip(matrices, heights):
+        w = m.shape[1]
+        if w == 0:
+            continue
+        ridx = jnp.remainder(idx, h)
+        lo, hi = m.lo[ridx], m.hi[ridx]  # (q, w)
+        aw = aligned_width(w)
+        if aw > w:
+            lo = jnp.pad(lo, [(0, 0), (0, aw - w)])
+            hi = jnp.pad(hi, [(0, 0), (0, aw - w)])
+        parts_lo.append(lo.reshape(-1))
+        parts_hi.append(hi.reshape(-1))
+    depth = len(layers) - 1
+    for level in range(depth):
+        sib = jnp.bitwise_xor(jnp.right_shift(idx, level), 1)
+        layer = layers[level]
+        parts_lo.append(layer.lo[sib].reshape(-1))
+        parts_hi.append(layer.hi[sib].reshape(-1))
+    return Fp(jnp.concatenate(parts_lo), jnp.concatenate(parts_hi))
+
+
+def gather_query_data(tree: LmcsTree, idx) -> tuple:
+    """Device path-gather for :func:`emit_opening_hints`. ``idx``: (q,)
+    int32 device array of raw query indices in this tree's domain order."""
+    flat = _gather_query_data(
+        tuple(tree.matrices), tuple(tree.heights), tuple(tree.layers), idx
+    )
+    return flat, (
+        int(idx.shape[0]),
+        [aligned_width(w) for w in tree.widths if w],
+        len(tree.layers) - 1,
+        [h for w, h in zip(tree.widths, tree.heights) if w],
+    )
+
+
+def emit_opening_hints(channel, host_vals: np.ndarray, meta, raw_indices) -> None:
+    """Feed a read-back :func:`gather_query_data` buffer into the channel
+    hint stream with the canonical batch-opening layout: aligned rows per
+    sorted-unique index per matrix, then the deduplicated sibling digests
+    of :func:`sibling_schedule` (selected host-side from the full gathered
+    paths)."""
+    q, aws, depth, heights = meta
+    raw = [int(v) for v in raw_indices]
+    assert len(raw) == q
+    uniq = sorted(set(raw))
+    first_pos: dict = {}
+    for j, d in enumerate(raw):
+        first_pos.setdefault(d, j)
+
+    mat_off = []
+    off = 0
+    for aw in aws:
+        mat_off.append(off)
+        off += q * aw
+    sib_base = off
+    for d in uniq:
+        for m_i, aw in enumerate(aws):
+            base = mat_off[m_i] + first_pos[d] * aw
+            channel.hint_field_slice(
+                [int(v) for v in host_vals[base : base + aw]]
+            )
+    # per level: map (i >> level) -> first raw position (for sibling lookup)
+    sched = sibling_schedule(uniq, depth)
+    by_level: dict = {}
+    for level in range(depth):
+        lv = {}
+        for d in uniq:
+            lv.setdefault(d >> level, first_pos[d])
+        by_level[level] = lv
+    for level, node in sched:
+        j = by_level[level][node ^ 1]
+        base = sib_base + (level * q + j) * 4
+        channel.hint_commitment(
+            tuple(int(v) for v in host_vals[base : base + 4])
+        )
+    assert sib_base + depth * q * 4 == len(host_vals)
 
 
 def append_opening_hints(channel, host_vals: np.ndarray, meta) -> None:

@@ -173,6 +173,18 @@ def _butterfly_dit(x: Fp, tw: Fp) -> Fp:
     return Fp(out_lo, out_hi)
 
 
+def _use_pallas_ntt(n: int) -> bool:
+    """Route through the Pallas four-step kernels on TPU backends: one
+    Mosaic compile per sub-size shared by every call site (the XLA path
+    compiles each stage per shape at ~10² HLO ops/s on the axon service),
+    and all sub-transform stages run VMEM-resident."""
+    import os
+
+    if os.environ.get("MIDEN_TPU_PALLAS_NTT") == "0":
+        return False
+    return n >= 16 and jax.default_backend() != "cpu"
+
+
 def dft_dif(x: Fp, inverse: bool = False) -> Fp:
     """Size-n transform along axis 0: natural input → bit-reversed output.
 
@@ -182,6 +194,10 @@ def dft_dif(x: Fp, inverse: bool = False) -> Fp:
     n, batch = x.shape
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
+    if _use_pallas_ntt(n):
+        from . import ntt_pallas
+
+        return ntt_pallas.dft_dif(x, inverse)
     tws = _stage_twiddles(log_n, inverse)
     y = x.reshape(1, n, batch)
     for s in range(log_n):
@@ -194,6 +210,10 @@ def dft_dit(x: Fp, inverse: bool = False) -> Fp:
     n, batch = x.shape
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
+    if _use_pallas_ntt(n):
+        from . import ntt_pallas
+
+        return ntt_pallas.dft_dit(x, inverse)
     tws = _stage_twiddles(log_n, inverse)
     y = x.reshape(n, 1, batch)
     for s in reversed(range(log_n)):
@@ -296,8 +316,12 @@ _evaluate_coeffs_on_coset_jit = jax.jit(evaluate_coeffs_on_coset, static_argnums
 
 
 def _warm(log_small: int, log_big: int, shifts_bitrev) -> None:
-    _stage_twiddles(log_small, True)
-    _stage_twiddles(log_big, False)
+    # stage twiddles feed only the XLA butterfly path; skip them when the
+    # Pallas kernels own the transform (each eager table build costs a
+    # remote compile on the axon service)
+    if not _use_pallas_ntt(1 << max(log_small, log_big)):
+        _stage_twiddles(log_small, True)
+        _stage_twiddles(log_big, False)
     for s, n in shifts_bitrev:
         if s % gl.P != 1:
             shift_powers(s, n, bitrev=True)

@@ -662,3 +662,18 @@ class MultiAir:
 
     def eval_external(self, randomness, aux_values, log_heights) -> list:
         return []
+
+
+def aux_on_device_now(air) -> bool:
+    """Whether this AIR's aux builder should receive device randomness.
+
+    ``aux_on_device`` may be True (always — cheap builders), False, or
+    "tpu" (only off the CPU test backend: the VM bus-spec graphs cost
+    minutes of XLA:CPU compile per shape, so CPU tests keep the exact
+    numeric builder)."""
+    import jax as _jax
+
+    v = getattr(air, "aux_on_device", False)
+    if v == "tpu":
+        return _jax.default_backend() != "cpu"
+    return bool(v)

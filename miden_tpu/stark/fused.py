@@ -1,0 +1,441 @@
+"""Phase-fused prover: the whole pipeline as a handful of jitted dispatches.
+
+On the TPU-behind-a-tunnel deployment every *eager* JAX op costs ~5 ms of
+link latency while a jitted dispatch costs ~30 µs. The round-2 prover issued
+thousands of eager glue ops between its jitted kernels — challenger
+duplexing, ``fp2_powers`` chains, per-matrix slicing, FRI round choreography
+— giving a size-independent 6–27 s host-side floor per proof (measured at
+2^10 and 2^14 alike). This module removes that floor by compiling the whole
+pipeline into **five jitted phase functions** with zero eager ops between
+them:
+
+  1. ``main``:     FS statement binding + main-trace LDE + LMCS commit
+  2. ``aux``:      randomness → device aux (LogUp) builders → aux commit → α,β
+  3. ``quotient``: constraint eval + Horner accumulation + quotient commit → z
+  4. ``open``:     OOD claims, DEEP quotient, all FRI rounds, PoW grinds,
+                   query-index sampling
+  5. ``final``:    transcript digest + ONE flat payload for a single readback
+
+The :class:`~miden_tpu.transcript.device_challenger.DeviceChallenger` state
+machine threads through the phases as ``(state (12,), ibuf (k,), obuf_n)``
+— ``obuf`` is always ``state[:8]`` whenever non-empty, so the sponge state
+serializes losslessly at any phase boundary. Transcript entries recorded
+inside a phase come back as jit outputs; their kinds/labels are captured at
+trace time (static per statement signature).
+
+Each phase corresponds to the same pipeline steps as the eager
+:func:`miden_tpu.stark.prover.prove` (reference
+crates/lifted-stark/src/prover/mod.rs:230-578) and produces bit-identical
+transcripts — pinned by tests/test_fused.py.
+
+Requires every AIR's aux builder to run on device (``aux_on_device`` or no
+aux); statements with host-side aux builders fall back to the eager path.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import gl
+from ..field.goldilocks import (
+    Fp,
+    Fp2,
+    fp2_from_pairs_u64,
+    fp2_mul_base,
+    fp_concat,
+    fp_const,
+    fp_from_u64,
+    fp_to_u64,
+)
+from ..merkle import lmcs
+from ..transcript.device_challenger import (
+    RATE,
+    DeviceChallenger,
+    DeviceProverChannel,
+)
+from ..utils.tracing import span
+from . import pcs
+from .domains import LiftedDomain, log_quotient_degree
+
+_STATEMENT_TOKENS = itertools.count()
+
+#: (statement_token, phase_name, extra) -> (jitted fn, trace-time meta dict)
+_PHASE_CACHE: dict = {}
+
+
+def use_fused(statement) -> bool:
+    """Fused path policy: on unless disabled, off on the CPU test backend
+    (per-shape compile cost dominates tiny test proofs) unless forced, and
+    only when every aux builder runs on device."""
+    env = os.environ.get("MIDEN_TPU_FUSED", "")
+    if env == "0":
+        return False
+    from ..dist.context import active_mesh
+
+    if active_mesh() is not None:
+        # the sharded prover (dist/prover.py) drives the eager path with
+        # its own explicitly-sharded kernels
+        return False
+    from .air import aux_on_device_now
+
+    airs = statement.multi_air.airs
+    device_ok = all(
+        not (a.aux_width or a.num_aux_values) or aux_on_device_now(a)
+        for a in airs
+    )
+    if not device_ok:
+        return False
+    if env == "1":
+        return True
+    return jax.default_backend() != "cpu"
+
+
+def _statement_token(statement) -> int:
+    tok = getattr(statement, "_fused_token", None)
+    if tok is None:
+        tok = next(_STATEMENT_TOKENS)
+        statement._fused_token = tok
+    return tok
+
+
+def _phase(key, obuf_n_in: int, body):
+    """Lift a channel-mutating ``body(channel, args) -> out`` into a pure
+    jitted function threading the challenger state and returning the
+    recorded transcript entries / checks as outputs."""
+    hit = _PHASE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    meta: dict = {}
+
+    def pure(state: Fp, ibuf: Fp, args):
+        dch = DeviceChallenger(state, ibuf)
+        if obuf_n_in:
+            dch.obuf = dch.state[:RATE]
+            dch.obuf_n = obuf_n_in
+        ch = DeviceProverChannel(dch)
+        out = body(ch, args)
+        meta["kinds"] = tuple(k for (k, _a) in ch._entries)
+        meta["labels"] = tuple(l for (l, _f) in ch._checks)
+        meta["obuf_n_out"] = dch.obuf_n
+        ents = tuple(a for (_k, a) in ch._entries)
+        flags = tuple(jnp.asarray(f) for (_l, f) in ch._checks)
+        return out, ents, flags, dch.state, dch.ibuf
+
+    fn = jax.jit(pure)
+    _PHASE_CACHE[key] = (fn, meta)
+    return fn, meta
+
+
+def prove_fused(params, statement, traces, challenger, preprocessed=None):
+    """Drop-in fused twin of :func:`miden_tpu.stark.prover.prove`."""
+    from .prover import (
+        Proof,
+        StarkOutput,
+        _fp2_stack,
+        _ood_valid_flag,
+        _query_phase_and_finalize,
+        commit_quotient,
+        commit_traces,
+        evaluate_quotient,
+        proof_order,
+        upsample_evals,
+        _accumulate_step,
+    )
+
+    airs = statement.multi_air.airs
+    assert len(airs) == len(traces)
+    log_blowup = params.log_blowup
+    hash_cfg = params.lmcs_hash()
+    log_heights = [t.shape[0].bit_length() - 1 for t in traces]
+    for t, a in zip(traces, airs):
+        assert tuple(t.shape) == (1 << (t.shape[0].bit_length() - 1), a.width)
+
+    order = proof_order(log_heights)
+    max_log_h = max(log_heights)
+    max_domain = LiftedDomain.canonical(max_log_h, log_blowup)
+    domains = [max_domain.sub_domain(log_heights[i]) for i in order]
+    log_ds = [log_quotient_degree(airs[i].constraint_degree()) for i in order]
+    log_d = max(log_ds)
+    assert log_d <= log_blowup, "constraint degree exceeds blowup"
+
+    expected_pp = any(a.preprocessed_width > 0 for a in airs)
+    if (preprocessed is not None) != expected_pp:
+        raise ValueError(
+            "preprocessed bundle must be supplied exactly when some AIR "
+            "declares preprocessed columns"
+        )
+    if preprocessed is not None:
+        from .preprocessed import validate_preprocessed
+
+        validate_preprocessed(statement, traces, preprocessed, params)
+
+    traces_fp = tuple(t if isinstance(t, Fp) else fp_from_u64(t) for t in traces)
+    pub_d = fp_from_u64(
+        np.asarray([int(p) % gl.P for p in statement.publics], dtype=np.uint64)
+    )
+    max_rand = max((a.num_randomness for a in airs), default=0)
+    pp_for_air = preprocessed.trace_index_for_air() if preprocessed else {}
+
+    skey = (
+        _statement_token(statement),
+        params,
+        tuple(log_heights),
+        preprocessed is not None,
+    )
+
+    # --- driver state ------------------------------------------------------
+    entries: list = []  # (kind, device Fp array), transcript order
+    checks: list = []  # (label, device bool)
+    state = fp_from_u64(np.asarray(challenger.state, dtype=np.uint64))
+    ibuf = fp_from_u64(
+        np.asarray(challenger.input_buffer or [], dtype=np.uint64)
+    )
+    obuf_n = len(challenger.output_buffer)
+
+    def run(name, body, args):
+        nonlocal state, ibuf, obuf_n
+        fn, meta = _phase((skey, name), obuf_n, body)
+        with span(f"fused phase: {name}"):
+            out, ents, flags, state, ibuf = fn(state, ibuf, args)
+        entries.extend(zip(meta["kinds"], ents))
+        checks.extend(zip(meta["labels"], flags))
+        obuf_n = meta["obuf_n_out"]
+        return out
+
+    # --- phase 1: statement binding + main commit --------------------------
+    def body_main(ch, args):
+        traces_t, pp_root = args
+        if pp_root is not None:
+            ch.challenger.observe_arr(pp_root)
+        statement.observe(ch.challenger, log_heights)
+        tree = commit_traces(
+            [traces_t[i] for i in order], log_blowup, hash=hash_cfg
+        )
+        ch.send_commitment(tree.root_dev())
+        return tree
+
+    pp_root = preprocessed.tree.root_dev() if preprocessed is not None else None
+    main_tree = run("main", body_main, (traces_fp, pp_root))
+
+    # --- phase 2: aux randomness + aux commit + fold challenges ------------
+    def body_aux(ch, args):
+        (traces_t,) = args
+        randomness = [ch.sample_ext() for _ in range(max_rand)]
+        aux_flat_inst, aux_values_inst = [], []
+        for a, t in zip(airs, traces_t):
+            aux_t, vals = a.build_aux_trace(
+                t,
+                statement.publics,
+                statement.aux_inputs,
+                randomness[: a.num_randomness],
+            )
+            if not isinstance(aux_t, Fp):
+                arr = np.asarray(aux_t, dtype=np.uint64)
+                n = arr.shape[0] if arr.ndim else t.shape[0]
+                aux_t = fp_from_u64(
+                    np.ascontiguousarray(arr.reshape(n, -1))
+                )
+            if not isinstance(vals, Fp2):
+                vals = fp2_from_pairs_u64(
+                    np.asarray(vals, dtype=np.uint64).reshape(len(vals), 2)
+                )
+            aux_flat_inst.append(aux_t)
+            aux_values_inst.append(vals)
+        tree = commit_traces(
+            [aux_flat_inst[i] for i in order], log_blowup, hash=hash_cfg
+        )
+        ch.send_commitment(tree.root_dev())
+        aux_values = [aux_values_inst[i] for i in order]
+        for vals in aux_values:
+            ch.send_ext_slice(vals)
+        alpha = ch.sample_ext()
+        beta = ch.sample_ext()
+        return tree, tuple(aux_values), _fp2_stack(randomness), alpha, beta
+
+    aux_tree, aux_values, rand_d, alpha, beta = run(
+        "aux", body_aux, (traces_fp,)
+    )
+
+    # --- phase 3: constraint eval + quotient commit + OOD point ------------
+    def body_quot(ch, args):
+        main_t, aux_t, pp_mats, alpha, beta, rand_d, aux_vals = args
+        acc = None
+        for k, i in enumerate(order):
+            air = airs[i]
+            dom = domains[k]
+            q = evaluate_quotient(
+                air,
+                dom,
+                main_t.matrices[k],
+                aux_t.matrices[k] if air.aux_width else None,
+                log_ds[k],
+                alpha,
+                pub_d,
+                rand_d[: air.num_randomness],
+                aux_vals[k],
+                pp_mats[pp_for_air[i]] if air.preprocessed_width else None,
+            )
+            if log_ds[k] < log_d:
+                q = upsample_evals(q, dom.lde_shift, log_d - log_ds[k])
+            target = dom.trace_height << log_d
+            if acc is None:
+                acc = q
+            else:
+                acc = _accumulate_step(target // acc.shape[0], acc, q, beta)
+        qtree = commit_quotient(
+            acc, max_domain, log_d, log_blowup, hash=hash_cfg
+        )
+        ch.send_commitment(qtree.root_dev())
+        z = ch.sample_ext()
+        ch.check("ood point outside domains", _ood_valid_flag(max_domain, z))
+        return qtree, z
+
+    pp_mats = tuple(preprocessed.tree.matrices) if preprocessed else ()
+    quotient_tree, z = run(
+        "quotient",
+        body_quot,
+        (main_tree, aux_tree, pp_mats, alpha, beta, rand_d, aux_values),
+    )
+
+    # --- phases 4..: PCS opening, split finely: whole-opening graphs
+    # compile super-linearly (XLA), so claims / DEEP / each FRI round /
+    # final run as separate jitted phases (still zero eager ops between).
+    input_trees = ([preprocessed.tree] if preprocessed else []) + [
+        main_tree,
+        aux_tree,
+        quotient_tree,
+    ]
+
+    def body_claims(ch, args):
+        trees, z = args
+        z_next = fp2_mul_base(z, fp_const(max_domain.trace_generator))
+        zs = [z, z_next]
+        claims = pcs.compute_deep_claims(list(trees), zs)
+        from ..field.goldilocks import fp2_concat
+
+        for per_tree in claims.evals:
+            ch.send_ext_slice(fp2_concat(per_tree, axis=0))
+        return tuple(tuple(pt) for pt in claims.evals), tuple(zs)
+
+    claim_evals, zs = run("claims", body_claims, (tuple(input_trees), z))
+
+    def body_deep(ch, args):
+        trees, claim_evals, zs = args
+        claims = pcs.DeepClaims(
+            evals=[list(pt) for pt in claim_evals],
+            aligned_widths=[
+                [lmcs.aligned_width(w) for w in t.widths] for t in trees
+            ],
+        )
+        ch.grind(params.deep_pow_bits)
+        alpha = ch.sample_ext()
+        beta = ch.sample_ext()
+        deep_evals = pcs.deep_compose(
+            max_domain, list(trees), claims, list(zs), alpha, beta
+        )
+        return deep_evals, pcs.fri_x_inv_init(params, max_domain)
+
+    cur, x_inv = run("deep", body_deep, (tuple(input_trees), claim_evals, zs))
+
+    n_rounds = pcs.fri_num_rounds(params, max_domain)
+    fri_trees = []
+    for r in range(n_rounds):
+        def body_fri(ch, args, r=r):
+            cur, x_inv = args
+            return pcs.fri_round(params, cur, x_inv, ch, r == n_rounds - 1)
+
+        tree, cur, x_inv = run(f"fri{r}", body_fri, (cur, x_inv))
+        fri_trees.append(tree)
+
+    def body_tail(ch, args):
+        (cur,) = args
+        pcs.fri_final(params, max_domain, cur, ch)
+        ch.grind(params.query_pow_bits)
+        idx_scalars = [ch.sample() for _ in range(params.num_queries)]
+        return Fp(
+            jnp.stack([s.lo for s in idx_scalars]),
+            jnp.stack([s.hi for s in idx_scalars]),
+        )
+
+    idx_arr = run("tail", body_tail, (cur,))
+
+    # --- phase 5: digest + flat payload ------------------------------------
+    def body_final(ch, args):
+        ents, idx, flags = args
+        digest = ch.challenger.finalize()
+        parts = [a.reshape(-1) for a in ents]
+        parts.append(digest.reshape(-1))
+        parts.append(idx.reshape(-1))
+        if flags:
+            parts.append(
+                Fp(
+                    jnp.stack([jnp.asarray(f, jnp.uint32) for f in flags]),
+                    jnp.zeros((len(flags),), jnp.uint32),
+                )
+            )
+        return fp_concat(parts)
+
+    payload = run(
+        "final",
+        body_final,
+        (
+            tuple(a for (_k, a) in entries),
+            idx_arr,
+            tuple(f for (_l, f) in checks),
+        ),
+    )
+
+    # --- THE blocking readback --------------------------------------------
+    with span("transcript readback"):
+        host = fp_to_u64(payload)
+
+    off = 0
+    fields: list = []
+    commitments: list = []
+    for kind, arr in entries:
+        n = int(np.prod(arr.shape))
+        vals = host[off : off + n]
+        off += n
+        if kind == "f":
+            fields.extend(int(v) for v in vals)
+        else:
+            commitments.append(tuple(int(v) for v in vals))
+    digest_vals = [int(v) for v in host[off : off + 4]]
+    off += 4
+    nq = int(np.prod(idx_arr.shape))
+    idx_host = host[off : off + nq]
+    off += nq
+    if checks:
+        for (label, _f), v in zip(checks, host[off : off + len(checks)]):
+            if not int(v):
+                raise AssertionError(f"device-side check failed: {label}")
+        off += len(checks)
+    assert off == len(host)
+
+    # channel in post-materialize state for the query-phase hint stream
+    channel = DeviceProverChannel.__new__(DeviceProverChannel)
+    channel.challenger = None
+    channel._entries = []
+    channel._checks = []
+    channel._host_fields = fields
+    channel._host_commitments = commitments
+    channel._digest = digest_vals
+
+    mask = (1 << max_domain.log_lde_height) - 1
+    idx_raw = [int(v) & mask for v in idx_host]
+
+    return _query_phase_and_finalize(
+        params,
+        max_domain,
+        input_trees,
+        list(fri_trees),
+        idx_raw,
+        channel,
+        log_heights,
+        idx_arr=idx_arr,
+    )

@@ -97,38 +97,47 @@ def _bconst(c: int, shape) -> Fp:
 # ---------------------------------------------------------------------------
 
 
-@_partial(_jax.jit, static_argnums=(0, 1))
-def _weighted_colsum_dev(log_m: int, shift: int, matrix: Fp, z: Fp2) -> Fp2:
-    """Σ_i (x_i/(z−x_i))·f_col(x_i) per column — the barycentric core."""
+@_partial(_jax.jit, static_argnums=(0, 1, 2))
+def _bary_weights_dev(log_m: int, shift: int, log_lift: int, z: Fp2):
+    """Shared barycentric factors for one (height, lift, point): the weight
+    column ``x_i/(z_l − x_i)`` and the scalar scale ``(z_l^m − s^m)/(m·s^m)``.
+
+    Split out of the per-matrix evaluation so matrices of the same height
+    (across trees) reuse ONE inverse/weight graph — the Fermat-inverse scan
+    and weight multiplies dominate the compiled size of the claims phase."""
+    z_l = fp2_exp_power_of_2(z, log_lift)
     m = 1 << log_m
     pts = coset_points(log_m, shift)
-    zb = fp2_broadcast_to(z, (m,))
+    zb = fp2_broadcast_to(z_l, (m,))
     denom = fp2_sub(zb, Fp2(pts, fp_sub(pts, pts)))
-    weights = fp2_mul_base(fp2_inv(denom), pts)  # x_i / (z - x_i)
-    wcol = Fp2(
-        Fp(weights.c0.lo[:, None], weights.c0.hi[:, None]),
-        Fp(weights.c1.lo[:, None], weights.c1.hi[:, None]),
-    )
-    prods = fp2_mul_base(wcol, matrix)  # (m, w) ext
-    return fp2_sum_axis0(prods)  # (w,) ext
-
-
-@_partial(_jax.jit, static_argnums=(0, 1, 2))
-def _eval_columns_dev(log_m: int, shift: int, log_lift: int, matrix: Fp, z: Fp2) -> Fp2:
-    """Evaluate every column polynomial of ``matrix`` (natural-order evals
-    over shift·K) at ``z^{2^log_lift}``. Returns Fp2 (w,)."""
-    z_l = fp2_exp_power_of_2(z, log_lift)
-    sums = _weighted_colsum_dev(log_m, shift, matrix, z_l)
-    # scale = (z_l^m - s^m) / (m * s^m); s, m static
-    m = 1 << log_m
+    weights = fp2_mul_base(fp2_inv(denom), pts)  # x_i / (z_l - x_i)
     sm = gl.exp_power_of_2(shift % gl.P, log_m)
     c = gl.inv(gl.mul(m % gl.P, sm))
     zm = fp2_exp_power_of_2(z_l, log_m)
     scale = fp2_mul_base(
         fp2_sub(zm, Fp2(_bconst(sm, ()), _bconst(0, ()))), _bconst(c, ())
     )
+    return weights, scale
+
+
+@_jax.jit
+def _weighted_eval_dev(weights: Fp2, scale: Fp2, matrix: Fp) -> Fp2:
+    """scale · Σ_i weights_i·f_col(x_i) per column. Returns Fp2 (w,)."""
+    wcol = Fp2(
+        Fp(weights.c0.lo[:, None], weights.c0.hi[:, None]),
+        Fp(weights.c1.lo[:, None], weights.c1.hi[:, None]),
+    )
+    sums = fp2_sum_axis0(fp2_mul_base(wcol, matrix))  # (w,) ext
     w = matrix.shape[1]
     return fp2_mul(fp2_broadcast_to(scale, (w,)), sums)
+
+
+@_partial(_jax.jit, static_argnums=(0, 1, 2))
+def _eval_columns_dev(log_m: int, shift: int, log_lift: int, matrix: Fp, z: Fp2) -> Fp2:
+    """Evaluate every column polynomial of ``matrix`` (natural-order evals
+    over shift·K) at ``z^{2^log_lift}``. Returns Fp2 (w,)."""
+    weights, scale = _bary_weights_dev(log_m, shift, log_lift, z)
+    return _weighted_eval_dev(weights, scale, matrix)
 
 
 def eval_columns_at(matrix: Fp, shift: int, z) -> list:
@@ -388,46 +397,72 @@ def _final_poly_dev(final_deg: int, cur: Fp2, shift: int = 1) -> Fp2:
     return Fp2(rev[:, 0], rev[:, 1])
 
 
+def fri_x_inv_init(params: PcsParams, domain: LiftedDomain) -> Fp:
+    """x_inv[k] = 1/(s·ω^k) over the first size/arity rows."""
+    n_rows = domain.lde_height >> params.log_folding_arity
+    return fp_powers(
+        gl.inv(gl.two_adic_generator(domain.log_lde_height)),
+        n_rows,
+        shift=gl.inv(domain.lde_shift),
+    )
+
+
+def fri_num_rounds(params: PcsParams, domain: LiftedDomain) -> int:
+    size = domain.lde_height
+    final_domain_size = params.final_poly_degree << params.log_blowup
+    rounds = 0
+    while size > final_domain_size:
+        size >>= params.log_folding_arity
+        rounds += 1
+    return rounds
+
+
+def fri_round(params: PcsParams, cur: Fp2, x_inv: Fp, channel, last: bool):
+    """One FRI round: reshape → commit → grind → β → fold (+ x_inv step).
+
+    Returns (tree, folded, next_x_inv)."""
+    log_arity = params.log_folding_arity
+    n_rows = cur.shape[0] >> log_arity
+    with span("FRI round commit", rows=n_rows):
+        mat, mat_base = _fri_round_prep(log_arity, cur)
+        tree = lmcs.build_tree([mat_base], hash=params.lmcs_hash())
+    channel.send_commitment(tree.root_dev())
+    channel.grind(params.folding_pow_bits)
+    beta = channel.sample_ext()
+    with span("FRI fold", rows=n_rows):
+        folded = _fold_rows_dev(log_arity, mat, x_inv[:n_rows], beta)
+    next_x_inv = (
+        x_inv if last else _x_inv_step(log_arity, n_rows >> log_arity, x_inv)
+    )
+    return tree, folded, next_x_inv
+
+
+def fri_final(params: PcsParams, domain: LiftedDomain, cur: Fp2, channel) -> None:
+    """Interpolate + truncate the last layer and send the final polynomial."""
+    rounds = fri_num_rounds(params, domain)
+    cur_shift = gl.exp_power_of_2(
+        domain.lde_shift, params.log_folding_arity * rounds
+    )
+    size = cur.shape[0]
+    ntt._warm(size.bit_length() - 1, 0, [(gl.inv(cur_shift % gl.P), size)])
+    final_poly = _final_poly_dev(params.final_poly_degree, cur, cur_shift)
+    channel.send_ext_slice(final_poly)
+
+
 def fri_commit(params: PcsParams, domain: LiftedDomain, evals: Fp2, channel) -> FriProver:
     """FRI commit phase (pcs/fri/prover.rs:93-242, natural-order variant).
 
     Every round's root observation, PoW grind, and β sample run on the
     device challenger — the round loop dispatches asynchronously with no
     host sync."""
-    log_arity = params.log_folding_arity
-    size = domain.lde_height
-    log_size = domain.log_lde_height
-    shift = domain.lde_shift
-    final_domain_size = params.final_poly_degree << params.log_blowup
-
-    # x_inv[k] = 1/(s·ω^k) over the first size/arity rows.
-    n_rows = size >> log_arity
-    x_inv = fp_powers(
-        gl.inv(gl.two_adic_generator(log_size)), n_rows, shift=gl.inv(shift)
-    )
-
+    rounds = fri_num_rounds(params, domain)
+    x_inv = fri_x_inv_init(params, domain)
     trees = []
     cur = evals
-    cur_shift = shift
-    while size > final_domain_size:
-        n_rows = size >> log_arity
-        with span("FRI round commit", rows=n_rows):
-            mat, mat_base = _fri_round_prep(log_arity, cur)
-            tree = lmcs.build_tree([mat_base], hash=params.lmcs_hash())
-        channel.send_commitment(tree.root_dev())
-        channel.grind(params.folding_pow_bits)
-        beta = channel.sample_ext()
-        with span("FRI fold", rows=n_rows):
-            cur = _fold_rows_dev(log_arity, mat, x_inv[:n_rows], beta)
+    for r in range(rounds):
+        tree, cur, x_inv = fri_round(params, cur, x_inv, channel, r == rounds - 1)
         trees.append(tree)
-        size = n_rows
-        cur_shift = gl.exp_power_of_2(cur_shift, log_arity)
-        if size > final_domain_size:
-            x_inv = _x_inv_step(log_arity, size >> log_arity, x_inv)
-
-    ntt._warm(size.bit_length() - 1, 0, [(gl.inv(cur_shift % gl.P), size)])
-    final_poly = _final_poly_dev(params.final_poly_degree, cur, cur_shift)
-    channel.send_ext_slice(final_poly)
+    fri_final(params, domain, cur, channel)
     return FriProver(trees=trees)
 
 

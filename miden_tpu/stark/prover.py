@@ -174,9 +174,15 @@ def evaluate_quotient(
     (it shares the max coset with the main trace, prover/mod.rs:463-476)."""
     import os as _os
 
-    if _os.environ.get("MIDEN_TPU_INTERP") == "1" or _jax.default_backend() == "cpu":
+    if (
+        _os.environ.get("MIDEN_TPU_INTERP") == "1"
+        or _jax.default_backend() == "cpu"
+        or getattr(air, "prefer_interp", False)
+    ):
         # bytecode evaluator: O(1) compiled-program size — required on the
-        # CPU test mesh where XLA cannot compile the fused VM-AIR graph
+        # CPU test mesh where XLA cannot compile the fused VM-AIR graph,
+        # and chosen by AIRs whose fused graph would cost minutes of
+        # compile per shape (the VM constraint system; prefer_interp)
         return _evaluate_quotient_interp(
             air, domain, log_d, main_lde, aux_lde, alpha, publics, randomness,
             aux_values, pp_lde,
@@ -513,6 +519,11 @@ def prove(
     query-phase opening gathers)."""
     from ..transcript.device_challenger import DeviceChallenger, DeviceProverChannel
 
+    from .fused import prove_fused, use_fused
+
+    if use_fused(statement):
+        return prove_fused(params, statement, traces, challenger, preprocessed)
+
     airs = statement.multi_air.airs
     assert len(airs) == len(traces)
     log_blowup = params.log_blowup
@@ -565,8 +576,10 @@ def prove(
     # builders) need the sampled randomness as host ints: one small early
     # readback. Device-mode builders (aux_on_device = True) keep the
     # pipeline fully asynchronous.
+    from .air import aux_on_device_now
+
     host_aux = any(
-        (a.aux_width or a.num_aux_values) and not getattr(a, "aux_on_device", False)
+        (a.aux_width or a.num_aux_values) and not aux_on_device_now(a)
         for a in airs
     )
     if host_aux and max_rand:
@@ -579,7 +592,7 @@ def prove(
         for a, t in zip(airs, traces):
             r = (
                 randomness[: a.num_randomness]
-                if getattr(a, "aux_on_device", False)
+                if aux_on_device_now(a)
                 else (rand_host or [])[: a.num_randomness]
             )
             aux_pairs.append(
@@ -696,31 +709,59 @@ def prove(
     with span("transcript readback"):
         idx_host = channel.materialize(extra=idx_arr)
     mask = (1 << max_domain.log_lde_height) - 1
-    indices = sorted({int(v) & mask for v in idx_host})
+    idx_raw = [int(v) & mask for v in idx_host]
 
-    # 7. Query phase: device gathers for all trees, one more readback.
+    return _query_phase_and_finalize(
+        params, max_domain, input_trees, fri_trees, idx_raw, channel,
+        log_heights, idx_arr=idx_arr,
+    )
+
+
+@_partial(_jax.jit, static_argnums=(0,))
+def _masked_idx(mask: int, idx_arr: Fp):
+    return (idx_arr.lo & jnp.uint32(mask)).astype(jnp.int32)
+
+
+def _query_phase_and_finalize(
+    params, max_domain, input_trees, fri_trees, idx_raw, channel, log_heights,
+    idx_arr=None,
+) -> StarkOutput:
+    """Shared proof tail (eager + fused paths): open every committed tree
+    at the query indices — ONE jitted full-path gather dispatch per tree
+    (value-independent shapes, executable reused across proofs), one
+    readback, then host-side hint assembly."""
     with span("query phase"):
-        flats, metas = [], []
+        mask = (1 << max_domain.log_lde_height) - 1
+        if idx_arr is not None:
+            idx_dev = _masked_idx(mask, idx_arr)
+        else:
+            idx_dev = jnp.asarray(idx_raw, jnp.int32)
+        flats, metas, raws = [], [], []
         for tree in input_trees:
-            flat, meta = lmcs.gather_openings_dev(tree, indices)
+            flat, meta = lmcs.gather_query_data(tree, idx_dev)
             flats.append(flat)
             metas.append(meta)
+            raws.append(idx_raw)
         size = max_domain.lde_height
-        cur_indices = indices
+        cur_idx, cur_raw = idx_dev, idx_raw
         for tree in fri_trees:
             size >>= params.log_folding_arity
-            cur_indices = sorted({d % size for d in cur_indices})
-            flat, meta = lmcs.gather_openings_dev(tree, cur_indices)
+            cur_idx = jnp.bitwise_and(cur_idx, jnp.int32(size - 1))
+            cur_raw = [d & (size - 1) for d in cur_raw]
+            flat, meta = lmcs.gather_query_data(tree, cur_idx)
             flats.append(flat)
             metas.append(meta)
+            raws.append(cur_raw)
         from ..field.goldilocks import fp_to_u64 as _fp_to_u64
 
         big = fp_concat([f for f in flats], axis=0)
         host_vals = _fp_to_u64(big)  # second (final) blocking readback
         off = 0
-        for flat, meta in zip(flats, metas):
+        for flat, meta, raw in zip(flats, metas, raws):
             n = flat.shape[0]
-            lmcs.append_opening_hints(channel, host_vals[off : off + n], meta)
+            lmcs.emit_opening_hints(
+                channel, host_vals[off : off + n], meta, raw
+            )
             off += n
 
     digest, data = channel.finalize()

@@ -172,8 +172,13 @@ class ProverChannel:
         self.send_field_slice(flat)
 
     def send_commitment(self, digest) -> None:
-        digest = tuple(int(v) % gl.P for v in digest)
+        # Observed digests feed the algebraic challenger, so they must be
+        # canonical field elements; assert instead of silently reducing
+        # (byte-hash digests are raw u64 words and are never *observed* —
+        # they travel as hints only).
+        digest = tuple(int(v) for v in digest)
         assert len(digest) == 4
+        assert all(0 <= v < gl.P for v in digest), "non-canonical digest observed"
         self.commitments.append(digest)
         self.challenger.observe_slice(digest)
 
@@ -182,7 +187,10 @@ class ProverChannel:
         self.fields.extend(int(v) % gl.P for v in values)
 
     def hint_commitment(self, digest) -> None:
-        self.commitments.append(tuple(int(v) % gl.P for v in digest))
+        # NO mod-p reduction: blake3/keccak LMCS digests are raw u64 words
+        # (any word in [p, 2^64) would be corrupted, breaking verify_batch
+        # for byte-hash trees ~2^-32 per word).
+        self.commitments.append(tuple(int(v) for v in digest))
 
     # --- challenges ---
     def sample(self) -> int:

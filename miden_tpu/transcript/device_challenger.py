@@ -106,6 +106,11 @@ class DeviceChallenger:
         """Observe a flat Fp array (any length) — rate-aligned prefix folds
         in one scanned dispatch."""
         assert arr.ndim == 1
+        if arr.shape[0] == 0:
+            # Observing zero elements is a no-op: the host challenger's
+            # observe_slice([]) does NOT invalidate its output buffer, so
+            # neither may we (empty aux-value sends occur for aux-less AIRs).
+            return
         self.obuf_n = 0
         total = fp_concat([self.ibuf, arr], axis=0) if self.ibuf.shape[0] else arr
         n = total.shape[0]
@@ -233,7 +238,9 @@ class DeviceProverChannel:
 
     def hint_commitment(self, digest) -> None:
         if self._host_commitments is not None:
-            self._host_commitments.append(tuple(int(v) % gl.P for v in digest))
+            # Raw u64 words — byte-hash digests must NOT be reduced mod p
+            # (see ProverChannel.hint_commitment).
+            self._host_commitments.append(tuple(int(v) for v in digest))
             return
         if not isinstance(digest, Fp):
             digest = fp_from_u64(np.asarray(digest, dtype=np.uint64))

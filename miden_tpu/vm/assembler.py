@@ -485,6 +485,11 @@ def parse_module(path: str, source: str) -> Module:
                 pending_locals = _parse_int(m.group(1), mod.consts)
             i += 1  # unknown attributes are ignored
         elif head == "use":
+            if pending_locals:
+                raise AssemblyError(
+                    f"{path}: @locals must immediately precede a proc "
+                    f"definition (found {head!r})"
+                )
             # `use a::b::c` (binds c) or `use a::b::c as d`
             target = toks[1]
             alias = toks[3] if len(toks) >= 4 and toks[2] == "as" else target.rsplit(
@@ -493,6 +498,11 @@ def parse_module(path: str, source: str) -> Module:
             mod.imports[alias] = target
             i += 1
         elif head == "const" or head.startswith("const."):
+            if pending_locals:
+                raise AssemblyError(
+                    f"{path}: @locals must immediately precede a proc "
+                    f"definition (found {head!r})"
+                )
             # `const NAME = expr` | `const.NAME=expr`
             text = line[len("const") :].lstrip(".").strip()
             name, _, expr = text.partition("=")
@@ -526,6 +536,11 @@ def parse_module(path: str, source: str) -> Module:
             mod.procs[name] = Proc(name, body, pending_locals, exported)
             pending_locals = 0
         elif head == "begin":
+            if pending_locals:
+                raise AssemblyError(
+                    f"{path}: @locals must immediately precede a proc "
+                    "definition (found 'begin')"
+                )
             body, i = collect_body(i + 1, toks[1:])
             mod.entry = body
         else:

@@ -1,15 +1,16 @@
-"""Chiplets trace: stacked memory + bitwise chiplet regions (24 columns).
+"""Chiplets trace: stacked hasher + bitwise + memory + ACE + kernel-ROM
+chiplet regions (24 columns).
 
 Mirrors the reference chiplets module structure (docs chiplets/index.md):
 regions are stacked top-down, identified by a monotone selector prefix,
-padded with all-ones selectors; `chip_clk` counts rows from 1. The hasher
-controller / ACE / kernel-ROM regions are not populated yet (their
-selector slots are reserved), so the stack order here is:
+padded with all-ones selectors; `chip_clk` counts rows from 1. The stack
+order is:
 
-    bitwise (s0=1, s1=0) | memory (s0=1, s1=1, s2=0) | padding (1,1,1,..)
+    hasher (s0=0) | bitwise (s0=1, s1=0) | memory (s0=1, s1=1, s2=0)
+    | ACE (1,1,1,0) | kernel ROM (1,1,1,1,0) | padding (all-ones)
 
-with an empty hasher region (s0 jumps straight to 1 — the selector
-monotonicity constraints allow any region to be empty).
+and any region may be empty (the selector monotonicity constraints allow
+s-prefixes to skip straight past an absent region).
 
 Column layout (width 24):
   0..4   s0..s4 top-level selectors (overlaying payload per region)

@@ -605,9 +605,12 @@ class ChipletsVmAir(Air):
                 sink(f.stack([e for e, _ in items]), f"family/{kind}")
                 self.label_order.extend(label for _, label in items)
 
-    def build_aux_trace(self, main, publics, aux_inputs, randomness):
-        from .aux_numeric import build_numeric_aux
+    aux_on_device = "tpu"  # device twin off-CPU; numeric on the CPU test mesh
+    prefer_interp = True  # fused-XLA graph too large to compile per shape
 
-        return build_numeric_aux(
+    def build_aux_trace(self, main, publics, aux_inputs, randomness):
+        from .aux_numeric import build_aux_dispatch
+
+        return build_aux_dispatch(
             self, main, publics, randomness, chiplet_bus_columns
         )

@@ -695,12 +695,15 @@ class CoreVmAir(Air):
                 self.label_order.extend(label for _, label in items)
 
 
+    aux_on_device = "tpu"  # device twin off-CPU; numeric on the CPU test mesh
+    prefer_interp = True  # fused-XLA graph too large to compile per shape
+
     def build_aux_trace(self, main, publics, aux_inputs, randomness):
-        from .aux_numeric import build_numeric_aux
+        from .aux_numeric import build_aux_dispatch
         from .buses import core_bus_columns, seed_denominator
         from .op_flags import OpFlags
 
-        return build_numeric_aux(
+        return build_aux_dispatch(
             self, main, publics, randomness,
             lambda f: core_bus_columns(f, OpFlags(f))[0],
             seed_fn=seed_denominator,

@@ -152,7 +152,7 @@ def native_execute_and_trace(program: Program, stack_inputs=None):
     requests = [int(v) for v in rc_out[: int(n_rc[0])]] + list(mem_range)
     rc_rows = _range_checker_rows(requests)
 
-    target = max(n_real + 1, L.MIN_TRACE_LEN, len(rc_rows) + 1)
+    target = max(n_real + 1, L.MIN_TRACE_LEN, len(rc_rows))
     if target > n:  # rare: range-checker rows outgrew the op rows
         n2 = 1 << (target - 1).bit_length()
         m2 = np.zeros((n2, L.CORE_WIDTH), dtype=np.uint64)
@@ -189,12 +189,15 @@ def native_execute_and_trace(program: Program, stack_inputs=None):
         lut[int(d)] = inv_cache[int(d)]
     m[:, L.H0] = lut[depths]
 
-    # range-checker columns
-    vals = np.full(n, 65535, dtype=np.uint64)
+    # range-checker columns: bottom-aligned exactly like the Python builder
+    # (zero padding rows first, then the table — reference
+    # trace/range/mod.rs:82 write_range_into_core)
+    vals = np.zeros(n, dtype=np.uint64)
     mults = np.zeros(n, dtype=np.uint64)
+    pad_rows = n - len(rc_rows)
     for i, (v, mult) in enumerate(rc_rows):
-        vals[i] = v
-        mults[i] = mult
+        vals[pad_rows + i] = v
+        mults[pad_rows + i] = mult
     m[:, L.RC_VALUE] = vals
     m[:, L.RC_MULT] = mults
 

@@ -449,8 +449,27 @@ def execute_and_trace(program: Program, stack_inputs=None, advice=None, **opts):
     Mirrors `execute_trace_inputs_sync` + `build_trace`
     (processor/src/fast/execution_api.rs:161, trace/parallel/mod.rs:91).
     Returns (ExecutionOutput, CoreTrace).
+
+    Fallback chain (the analog of the reference's FastProcessor-first
+    design, processor/src/fast/mod.rs:102): programs inside the native
+    subset execute + trace in C (~10^8 rows/s, miden_tpu/native/
+    trace_gen.c); anything else — advice-dependent programs, execution
+    options, unsupported ops — takes the exact Python interpreter.
+    Equivalence of the two paths is pinned by tests/test_native_trace.py.
     """
+    import os
+
     from .processor import Processor, StackInputs
+
+    if advice is None and not opts and os.environ.get("MIDEN_TPU_NATIVE") != "0":
+        try:
+            from .native_trace import NativeUnsupported, native_execute_and_trace
+
+            return native_execute_and_trace(program, stack_inputs)
+        except NativeUnsupported:
+            pass
+        except OSError:
+            pass  # native library unavailable on this platform
 
     if isinstance(stack_inputs, list):
         stack_inputs = StackInputs(stack_inputs)

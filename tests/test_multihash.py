@@ -74,6 +74,40 @@ def test_host_twins_consistent():
         assert len(m) == 4 and m != d1
 
 
+def _check_device_digests(name):
+    """Device-vs-host agreement: leaf_digests and compress_pairs on a
+    single small batch must equal the host twins (ADVICE round-2 finding:
+    the slow roundtrips were the only device/host cross-check)."""
+    from miden_tpu.field.goldilocks import fp_to_u64
+
+    rng = np.random.default_rng(3)
+    cfg = lmcs.HASH_CONFIGS[name]()
+    rows = rng.integers(0, 2**63, (2, 8), dtype=np.uint64)
+    dev = fp_to_u64(cfg.leaf_digests(fp_from_u64(rows)))
+    for r in range(2):
+        host = cfg.host_hash_elements([int(v) for v in rows[r]])
+        assert [int(v) for v in dev[r]] == list(host), name
+    left, right = dev[0], dev[1]
+    dev_m = fp_to_u64(
+        cfg.compress_pairs(
+            fp_from_u64(left[None, :]), fp_from_u64(right[None, :])
+        )
+    )[0]
+    host_m = cfg.host_compress([int(v) for v in left], [int(v) for v in right])
+    assert [int(v) for v in dev_m] == list(host_m), name
+
+
+def test_device_digests_match_host_poseidon2():
+    _check_device_digests("poseidon2")
+
+
+@pytest.mark.slow  # each byte-hash/rescue device kernel costs minutes of
+# XLA:CPU compile at this (otherwise untested) tiny shape
+@pytest.mark.parametrize("hash_name", HASHES)
+def test_device_digests_match_host_per_hash(hash_name):
+    _check_device_digests(hash_name)
+
+
 def test_params_reject_byte_hash_pipeline():
     """The full pipeline requires algebraic (felt-digest) hashes."""
     with pytest.raises(AssertionError):
