@@ -46,6 +46,20 @@ def trace_gen_lib():
             u64p, u64p, ctypes.c_int64,           # stack_buf, ovf_buf, stack_cap
             u64p, i64p, u64p,                     # final_stack, final_depth, final_clk
         ]
+        lib.run_block_segment.restype = ctypes.c_int64
+        lib.run_block_segment.argtypes = [
+            u64p, i64p, ctypes.c_int64,           # groups, n_groups, n_batches
+            i64p, u64p, i64p,                     # batch_of_op, op_code, op_kind
+            u64p, u64p, u64p,                     # op_param, op_imm, op_has_imm
+            ctypes.c_int64,                       # n_ops
+            u64p, ctypes.c_int64, u64p,           # stack_init, depth0, ovf_clk_init
+            ctypes.c_uint64, ctypes.c_uint64, u64p,  # clk0, ctx, fn_hash
+            ctypes.c_uint64, ctypes.c_uint64,     # block_addr, parent_addr
+            ctypes.c_int64, u64p,                 # write_end, digest
+            u64p, ctypes.c_int64, u64p, i64p,     # out, cap_rows, rc_out, n_rc_out
+            u64p, u64p, ctypes.c_int64,           # stack_buf, ovf_buf, stack_cap
+            u64p, u64p, u64p, i64p, u64p,         # final 16/ovf/ovf_clk/depth/clk
+        ]
         lib.p2_set_constants.restype = None
         lib.p2_set_constants.argtypes = [u64p, u64p, u64p, u64p]
         lib.p2_permute_batch.restype = None

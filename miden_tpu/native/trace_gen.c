@@ -98,6 +98,8 @@ typedef struct {
     i64 depth;      /* logical depth, >= 16 */
     i64 n_ovf;      /* == depth - 16 */
     u64 clk;
+    u64 ctx;        /* execution context id (column 1) */
+    u64 fn_hash[4]; /* current fn hash (columns 2..5) */
 } Vm;
 
 static inline void vm_push(Vm *v, u64 val) {
@@ -125,6 +127,8 @@ static void capture(u64 *row, const Vm *v, u64 opcode, u64 addr,
                     const u64 *batch) {
     memset(row, 0, W * 8);
     row[COL_CLK] = v->clk;
+    row[COL_CTX] = v->ctx;
+    for (int i = 0; i < 4; i++) row[COL_FN + i] = v->fn_hash[i];
     row[COL_ADDR] = addr;
     u64 b5 = (opcode >> 5) & 1, b4 = (opcode >> 4) & 1, b6 = (opcode >> 6) & 1;
     for (int i = 0; i < 7; i++) row[COL_BITS + i] = (opcode >> i) & 1;
@@ -336,23 +340,33 @@ static int exec_op(Vm *v, int kind, u64 param, u64 imm, u64 *row,
  * Outputs (via pointers): final depth, clk, n_rc.
  * Returns rows written, or negative error code.
  */
-i64 run_basic_block(
+i64 run_block_segment(
     const u64 *groups, const i64 *n_groups, i64 n_batches,
     const i64 *batch_of_op, const u64 *op_code, const i64 *op_kind,
     const u64 *op_param, const u64 *op_imm, const u64 *op_has_imm,
-    i64 n_ops, const u64 *stack_init, const u64 *digest,
+    i64 n_ops,
+    /* entry state: full stack (depth0 values, top first) + overflow clk
+       stamps (newest first), clk/ctx/fn of the SPAN row, the block's
+       hasher address and its parent's */
+    const u64 *stack_init, i64 depth0, const u64 *ovf_clk_init,
+    u64 clk0, u64 ctx, const u64 *fn_hash,
+    u64 block_addr, u64 parent_addr, i64 write_end, const u64 *digest,
     u64 *out, i64 cap_rows, u64 *rc_out, i64 *n_rc_out,
     u64 *stack_buf, u64 *ovf_buf, i64 stack_cap,
-    u64 *final_stack /* 16 */, i64 *final_depth, u64 *final_clk) {
+    u64 *final_stack /* 16 */, u64 *final_ovf, u64 *final_ovf_clk,
+    i64 *final_depth, u64 *final_clk) {
 
     Vm v;
     v.stack = stack_buf;
     v.ovf_clk = ovf_buf;
-    v.depth = MINDEPTH;
-    v.n_ovf = 0;
-    v.clk = 0;
+    v.depth = depth0;
+    v.n_ovf = depth0 - MINDEPTH;
+    v.clk = clk0;
+    v.ctx = ctx;
+    for (int i = 0; i < 4; i++) v.fn_hash[i] = fn_hash ? fn_hash[i] : 0;
     memset(stack_buf, 0, (size_t)stack_cap * 8);
-    for (int i = 0; i < MINDEPTH; i++) v.stack[i] = stack_init[i];
+    for (i64 i = 0; i < depth0; i++) v.stack[i] = stack_init[i];
+    for (i64 i = 0; i < v.n_ovf; i++) v.ovf_clk[i] = ovf_clk_init[i];
 
     i64 row_i = 0;
     i64 n_rc = 0;
@@ -362,7 +376,7 @@ i64 run_basic_block(
     i64 total_groups = 0;
     for (i64 bi = 0; bi < n_batches; bi++) total_groups += n_groups[bi];
 
-    u64 addr = 1;       /* hasher allocator starts at 1 */
+    u64 addr = block_addr;
     i64 gc = total_groups;
     i64 queue_head = 0, queue_len = 0; /* indices into groups of cur batch */
     const u64 *cur_groups = groups;
@@ -370,16 +384,15 @@ i64 run_basic_block(
     int have_pending = 0;
     u64 rem = 0;
     i64 op_index = 0;
-    u64 h1_next = 0;
-    int have_h1 = 0;
 
-    /* SPAN row */
+    /* SPAN row (captured with the PARENT address, like
+       TraceBuilder.on_span_start's _cur_addr()) */
     if (row_i >= cap_rows) return -2;
     batch_flags(n_groups[0], bflags);
     {
         u64 h[8];
         for (int i = 0; i < 8; i++) h[i] = groups[i];
-        capture(out + row_i * W, &v, 0x56 /* SPAN */, 0, h, 0,
+        capture(out + row_i * W, &v, 0x56 /* SPAN */, parent_addr, h, 0,
                 (u64)total_groups, 0, bflags);
         row_i++;
     }
@@ -412,8 +425,6 @@ i64 run_basic_block(
             queue_len = n_groups[cur_batch] - 1;
             pending_group = cur_groups[0];
             have_pending = 1;
-            h1_next = 0; /* parent of a single-block program is 0 */
-            have_h1 = 1;
         }
         u64 code = op_code[oi];
         if (have_pending) {
@@ -425,12 +436,12 @@ i64 run_basic_block(
             rem >>= 7;
             op_index++;
         }
-        u64 h1 = have_h1 ? h1_next : 0;
-        have_h1 = 0;
         if (row_i >= cap_rows) return -2;
         u64 *row = out + row_i * W;
         {
-            u64 h[8] = {rem, h1, 0, 0, 0, 0, 0, 0};
+            /* h1 on every user-op row carries the parent block address
+               (trace.py pre_op; trace_row.rs:99-118 new_operation) */
+            u64 h[8] = {rem, parent_addr, 0, 0, 0, 0, 0, 0};
             capture(row, &v, code, addr, h, 1, (u64)gc, (u64)op_index, 0);
         }
         row_i++;
@@ -453,20 +464,42 @@ i64 run_basic_block(
     }
     if (rem != 0 || queue_len != 0 || gc != 0) return -7;
 
-    /* END row */
-    if (row_i >= cap_rows) return -2;
-    {
+    if (write_end) {
+        /* END row */
+        if (row_i >= cap_rows) return -2;
         u64 h[8] = {digest[0], digest[1], digest[2], digest[3], 0, 0, 0, 0};
         capture(out + row_i * W, &v, 0x70 /* END */, addr, h, 0, 0, 0, 0);
         row_i++;
+        v.clk++;
     }
-    v.clk++;
 
     for (int i = 0; i < MINDEPTH; i++) final_stack[i] = v.stack[i];
+    if (final_ovf)
+        for (i64 i = 0; i < v.n_ovf; i++) final_ovf[i] = v.stack[MINDEPTH + i];
+    if (final_ovf_clk)
+        for (i64 i = 0; i < v.n_ovf; i++) final_ovf_clk[i] = v.ovf_clk[i];
     *final_depth = v.depth;
     *final_clk = v.clk;
     *n_rc_out = n_rc;
     return row_i;
+}
+
+/* Standalone single-basic-block program (legacy entry point). */
+i64 run_basic_block(
+    const u64 *groups, const i64 *n_groups, i64 n_batches,
+    const i64 *batch_of_op, const u64 *op_code, const i64 *op_kind,
+    const u64 *op_param, const u64 *op_imm, const u64 *op_has_imm,
+    i64 n_ops, const u64 *stack_init, const u64 *digest,
+    u64 *out, i64 cap_rows, u64 *rc_out, i64 *n_rc_out,
+    u64 *stack_buf, u64 *ovf_buf, i64 stack_cap,
+    u64 *final_stack /* 16 */, i64 *final_depth, u64 *final_clk) {
+    u64 fn[4] = {0, 0, 0, 0};
+    return run_block_segment(
+        groups, n_groups, n_batches, batch_of_op, op_code, op_kind,
+        op_param, op_imm, op_has_imm, n_ops,
+        stack_init, MINDEPTH, 0, 0, 0, fn, 1, 0, 1, digest,
+        out, cap_rows, rc_out, n_rc_out, stack_buf, ovf_buf, stack_cap,
+        final_stack, 0, 0, final_depth, final_clk);
 }
 
 /* ---------------------------------------------------------------------

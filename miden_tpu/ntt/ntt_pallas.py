@@ -56,7 +56,9 @@ from ..field.goldilocks import (
     fp_where,
 )
 
-MAX_LOG_SINGLE = 11  # largest sub-transform done in one kernel
+MAX_LOG_SINGLE = 10  # largest sub-transform done in one kernel: Mosaic
+# stack-allocates ~3 stages of butterfly temporaries, and a (2^11, 128)
+# block put the scoped VMEM usage at ~24 MB vs the 16 MB budget
 _TILE = 128  # columns per kernel instance
 
 

@@ -1,0 +1,595 @@
+"""Deferred-precompile session: the second STARK (stage 1: u256 add).
+
+Mirrors the reference's precompile VM architecture (a 13-chiplet AIR
+stack proved with the same lifted-stark engine,
+precompiles-prover/src/session/mod.rs:1-35) at stage-1 scope: three
+session AIRs + the reused Poseidon2 permutation AIR, cross-linked by
+LogUp buses, proving that
+
+1. the **deferred root** the main VM proof binds (the LOGDEFERRED
+   AND-chain, vm/processor.py) is the fold of the claims' statement
+   digests:  root_{k+1} = P([root_k, stmt_k, 1, 0, 0, 0])[0:4];
+2. each **statement digest** binds its claim data:
+   ha/hb/ho = P([limbs8(x), 0⁴]) over the operand's 8 u32 limbs,
+   d1 = P([ha(4), hb(4), 0⁴])[0:4],
+   stmt = P([d1(4), ho(4), id, 0, 0, 0])[0:4];
+3. each claim's **u256 arithmetic holds**: the U256 chiplet re-derives
+   (a, b, out) from 16-bit limbs with boolean carries, re-hashes the
+   operands (wiring to the same permutation cycles), and removes the
+   claim-bus message [id, ha, hb, ho] the chain inserted;
+4. every 16-bit limb is **range-checked** against the 2^16-row range
+   table AIR (LogUp multiplicity bus).
+
+AIR stack and buses:
+
+  ChainAir   --[wiring in/out]-->  Poseidon2PermutationAir (reused
+  U256Air    --[wiring in/out]-->    verbatim from the main VM)
+  ChainAir   --[claim bus]------>  U256Air
+  U256Air    --[range bus]------>  RangeTableAir
+
+All aux accumulators sum to zero (MultiAir.eval_external), exactly the
+main VM's LogUp-balance structure. Statement publics:
+[root(4), n_claims]. Permutation cycle ids: chain claim r owns
+3r (d1), 3r+1 (stmt), 3r+2 (fold); u256 row r owns 3n+3r (ha),
+3n+3r+1 (hb), 3n+3r+2 (ho).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..field import gl
+from ..hash import poseidon2_host as hp
+from ..stark.air import Air, MultiAir
+from ..stark.params import MIDEN_PARAMS, PcsParams
+from ..stark.prover import Statement
+from ..transcript.challenger import DuplexChallenger
+from ..vm import chiplets as VC
+from ..vm.constraints.buses import BUS_WIRING_IN, BUS_WIRING_OUT, Challenges, mux
+from ..vm.constraints.poseidon2_air import Poseidon2PermutationAir
+
+#: session-local bus ids (disjoint from the wiring ids)
+SBUS_CLAIM = 12
+SBUS_RANGE = 13
+
+#: Fiat–Shamir domain separator for the deferred-session protocol
+SESSION_SEED = [0x6D69_6465, 0x6E2D_7470, 0x752D_6466, 0x0000_0001]
+
+U256_ADD_ID = 1
+
+DEFERRED_EMPTY_ROOT = (0, 0, 0, 0)
+
+_MASK16 = (1 << 16) - 1
+P = gl.P
+
+
+# ---------------------------------------------------------------------------
+# Claims and digests (host arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class U256AddClaim:
+    """Claim: out = (a + b) mod 2^256 (wrapping u256 addition)."""
+
+    a: int
+    b: int
+
+    def __post_init__(self):
+        assert 0 <= self.a < (1 << 256) and 0 <= self.b < (1 << 256)
+
+    @property
+    def out(self) -> int:
+        return (self.a + self.b) & ((1 << 256) - 1)
+
+    @property
+    def id(self) -> int:
+        return U256_ADD_ID
+
+
+def _limbs16(x: int) -> list[int]:
+    return [(x >> (16 * i)) & _MASK16 for i in range(16)]
+
+
+def _limbs32(x: int) -> list[int]:
+    return [(x >> (32 * i)) & 0xFFFFFFFF for i in range(8)]
+
+
+def _operand_digest_state(x: int) -> list[int]:
+    return hp.permute([*_limbs32(x), 0, 0, 0, 0])
+
+
+def claim_statement_digest(claim: U256AddClaim) -> tuple:
+    ha = _operand_digest_state(claim.a)[0:4]
+    hb = _operand_digest_state(claim.b)[0:4]
+    ho = _operand_digest_state(claim.out)[0:4]
+    d1 = hp.permute([*ha, *hb, 0, 0, 0, 0])[0:4]
+    stmt = hp.permute([*d1, *ho, claim.id, 0, 0, 0])[0:4]
+    return tuple(stmt)
+
+
+def fold_deferred_root(root, stmt) -> tuple:
+    """One LOGDEFERRED AND-chain step (vm/processor.py LOGDEFERRED)."""
+    return tuple(hp.permute([*root, *stmt, 1, 0, 0, 0])[0:4])
+
+
+def deferred_root_for(claims) -> tuple:
+    root = DEFERRED_EMPTY_ROOT
+    for c in claims:
+        root = fold_deferred_root(root, claim_statement_digest(c))
+    return root
+
+
+# ---------------------------------------------------------------------------
+# Chain AIR
+# ---------------------------------------------------------------------------
+
+# column layout
+CH_ACT = 0
+CH_PERM = 1
+CH_ID = 2
+CH_PREV = list(range(3, 7))
+CH_HA = list(range(7, 11))
+CH_HB = list(range(11, 15))
+CH_HO = list(range(15, 19))
+CH_D1 = list(range(19, 31))
+CH_STMT = list(range(31, 43))
+CH_FOLD = list(range(43, 55))
+CHAIN_WIDTH = 55
+
+
+def chain_bus_columns(f):
+    """Fraction columns: 6 wiring insertions (3 permutations × in/out,
+    batched 2 per column) + 1 claim-bus insertion, gated by ACT."""
+    ch = Challenges(f)
+    one = f.const(1)
+    act = f.main(CH_ACT)
+    perm = f.main(CH_PERM)
+    cid = f.main(CH_ID)
+    prev = [f.main(c) for c in CH_PREV]
+    ha = [f.main(c) for c in CH_HA]
+    hb = [f.main(c) for c in CH_HB]
+    ho = [f.main(c) for c in CH_HO]
+    d1 = [f.main(c) for c in CH_D1]
+    stmt = [f.main(c) for c in CH_STMT]
+    fold = [f.main(c) for c in CH_FOLD]
+
+    in_d1 = ch.msg(BUS_WIRING_IN, [perm, *ha, *hb, 0, 0, 0, 0])
+    out_d1 = ch.msg(BUS_WIRING_OUT, [perm, *d1])
+    in_st = ch.msg(BUS_WIRING_IN, [perm + 1, *d1[0:4], *ho, cid, 0, 0, 0])
+    out_st = ch.msg(BUS_WIRING_OUT, [perm + 1, *stmt])
+    in_fd = ch.msg(BUS_WIRING_IN, [perm + 2, *prev, *stmt[0:4], 1, 0, 0, 0])
+    out_fd = ch.msg(BUS_WIRING_OUT, [perm + 2, *fold])
+    claim = ch.msg(SBUS_CLAIM, [cid, *ha, *hb, *ho])
+
+    cols = []
+    for pair in ((in_d1, out_d1), (in_st, out_st), (in_fd, out_fd)):
+        cols.append(mux(one, [(act, [(1, pair[0]), (1, pair[1])])]))
+    cols.append(mux(one, [(act, [(1, claim)])]))
+    return cols
+
+
+class ChainAir(Air):
+    """Deferred-root AND-chain + statement-digest assembly."""
+
+    width = CHAIN_WIDTH
+    aux_width = 1 + 4
+    num_randomness = 2
+    num_aux_values = 1
+    num_public_values = 5
+
+    def eval(self, f) -> None:
+        fam = {"zero": [], "trans": [], "first": [], "last": []}
+
+        def A(kind, e, label):
+            fam[kind].append((e, label))
+
+        act = f.main(CH_ACT)
+        actn = f.main(CH_ACT, 1)
+        perm = f.main(CH_PERM)
+        permn = f.main(CH_PERM, 1)
+        prev = [f.main(c) for c in CH_PREV]
+        prevn = [f.main(c, 1) for c in CH_PREV]
+        fold = [f.main(c) for c in CH_FOLD]
+        root = [f.public(i) for i in range(4)]
+
+        # activity shape: boolean, monotone decreasing, last row inactive
+        A("zero", act * (act - 1), "act/bool")
+        A("trans", (1 - act) * actn, "act/monotone")
+        A("last", act, "act/last_padding")
+        A("first", act - 1, "act/first")  # ≥ 1 claim per session
+        # chain continuity + perm id schedule
+        A("first", perm, "perm/first")
+        for i in range(4):
+            A("first", prev[i], f"chain/prev0_{i}")
+        A("trans", actn * (permn - perm - 3), "perm/step")
+        for i in range(4):
+            A("trans", actn * (prevn[i] - fold[i]), f"chain/link_{i}")
+        # root binding on the active→inactive edge
+        for i in range(4):
+            A("trans", (act - actn) * (fold[i] - root[i]), f"chain/root_{i}")
+        # padding rows carry zeros in perm/id so the schedule constraint
+        # above can't be gamed by reviving activity (monotone covers it)
+
+        # buses
+        cols = chain_bus_columns(f)
+        acc = f.aux(0)
+        accn = f.aux(0, 1)
+        for k, (V, U) in enumerate(cols):
+            av = f.aux(1 + k)
+            A("trans", U * av - V, f"bus/frac{k}")
+        total = f.aux(1)
+        for k in range(1, len(cols)):
+            total = total + f.aux(1 + k)
+        A("trans", accn - acc - total, "bus/acc")
+        A("first", acc, "bus/acc_first")
+        A("last", acc - f.aux_value(0), "bus/acc_final")
+
+        self.label_order = []
+        for kind, sink in (
+            ("zero", f.assert_zero_many),
+            ("trans", f.assert_transition_many),
+            ("first", f.assert_zero_first_row_many),
+            ("last", f.assert_zero_last_row_many),
+        ):
+            items = fam[kind]
+            if items:
+                sink(f.stack([e for e, _ in items]), f"family/{kind}")
+                self.label_order.extend(label for _, label in items)
+
+    aux_on_device = "tpu"
+
+    def build_aux_trace(self, main, publics, aux_inputs, randomness):
+        from ..vm.constraints.aux_numeric import build_aux_dispatch
+
+        return build_aux_dispatch(
+            self, main, publics, randomness, chain_bus_columns
+        )
+
+
+# ---------------------------------------------------------------------------
+# U256 AIR (stage 1: wrapping add)
+# ---------------------------------------------------------------------------
+
+U_ACT = 0
+U_ID = 1
+U_PERM = 2
+U_A = list(range(3, 19))
+U_B = list(range(19, 35))
+U_O = list(range(35, 51))
+U_C = list(range(51, 67))
+U_HA = list(range(67, 79))
+U_HB = list(range(79, 91))
+U_HO = list(range(91, 103))
+U256_WIDTH = 103
+
+
+def _packed32(limbs):
+    """16 × 16-bit limb Exprs → 8 × 32-bit felt combos."""
+    return [limbs[2 * j] + limbs[2 * j + 1] * (1 << 16) for j in range(8)]
+
+
+def u256_bus_columns(f):
+    """6 wiring insertions (ha/hb/ho in+out, batched 2/col), the claim-bus
+    removal, and 48 range-bus insertions batched 4 per column."""
+    ch = Challenges(f)
+    one = f.const(1)
+    act = f.main(U_ACT)
+    cid = f.main(U_ID)
+    perm = f.main(U_PERM)
+    a = [f.main(c) for c in U_A]
+    b = [f.main(c) for c in U_B]
+    o = [f.main(c) for c in U_O]
+    ha = [f.main(c) for c in U_HA]
+    hb = [f.main(c) for c in U_HB]
+    ho = [f.main(c) for c in U_HO]
+
+    cols = []
+    for k, (limbs, state) in enumerate(((a, ha), (b, hb), (o, ho))):
+        msg_in = ch.msg(BUS_WIRING_IN, [perm + k, *_packed32(limbs), 0, 0, 0, 0])
+        msg_out = ch.msg(BUS_WIRING_OUT, [perm + k, *state])
+        cols.append(mux(one, [(act, [(1, msg_in), (1, msg_out)])]))
+    claim = ch.msg(
+        SBUS_CLAIM, [cid, *ha[0:4], *hb[0:4], *ho[0:4]]
+    )
+    cols.append(mux(one, [(act, [(-1, claim)])]))
+    for g in range(12):  # 48 limb range checks, 4 per fraction column
+        limbs = (a + b + o)[4 * g : 4 * g + 4]
+        fracs = [(1, ch.msg(SBUS_RANGE, [v])) for v in limbs]
+        cols.append(mux(one, [(act, fracs)]))
+    return cols
+
+
+class U256Air(Air):
+    """u256 wrapping addition over 16-bit limbs with boolean carries."""
+
+    width = U256_WIDTH
+    aux_width = 1 + 16
+    num_randomness = 2
+    num_aux_values = 1
+    num_public_values = 5
+
+    def eval(self, f) -> None:
+        fam = {"zero": [], "trans": [], "first": [], "last": []}
+
+        def A(kind, e, label):
+            fam[kind].append((e, label))
+
+        act = f.main(U_ACT)
+        actn = f.main(U_ACT, 1)
+        perm = f.main(U_PERM)
+        permn = f.main(U_PERM, 1)
+        cid = f.main(U_ID)
+        a = [f.main(c) for c in U_A]
+        b = [f.main(c) for c in U_B]
+        o = [f.main(c) for c in U_O]
+        c = [f.main(col) for col in U_C]
+        n_claims = f.public(4)
+
+        A("zero", act * (act - 1), "act/bool")
+        A("trans", (1 - act) * actn, "act/monotone")
+        A("last", act, "act/last_padding")
+        A("first", act - 1, "act/first")
+        A("zero", act * (cid - U256_ADD_ID), "id/u256_add")
+        # permutation cycle schedule: first id = 3·n_claims, step 3
+        A("first", perm - n_claims * 3, "perm/first")
+        A("trans", actn * (permn - perm - 3), "perm/step")
+        # limbwise addition with boolean carries
+        for i in range(16):
+            carry_in = c[i - 1] if i else f.const(0)
+            A(
+                "zero",
+                act * (a[i] + b[i] + carry_in - o[i] - c[i] * (1 << 16)),
+                f"add/limb{i}",
+            )
+            A("zero", act * c[i] * (c[i] - 1), f"add/carry{i}")
+
+        cols = u256_bus_columns(f)
+        acc = f.aux(0)
+        accn = f.aux(0, 1)
+        for k, (V, U) in enumerate(cols):
+            av = f.aux(1 + k)
+            A("trans", U * av - V, f"bus/frac{k}")
+        total = f.aux(1)
+        for k in range(1, len(cols)):
+            total = total + f.aux(1 + k)
+        A("trans", accn - acc - total, "bus/acc")
+        A("first", acc, "bus/acc_first")
+        A("last", acc - f.aux_value(0), "bus/acc_final")
+
+        self.label_order = []
+        for kind, sink in (
+            ("zero", f.assert_zero_many),
+            ("trans", f.assert_transition_many),
+            ("first", f.assert_zero_first_row_many),
+            ("last", f.assert_zero_last_row_many),
+        ):
+            items = fam[kind]
+            if items:
+                sink(f.stack([e for e, _ in items]), f"family/{kind}")
+                self.label_order.extend(label for _, label in items)
+
+    aux_on_device = "tpu"
+
+    def build_aux_trace(self, main, publics, aux_inputs, randomness):
+        from ..vm.constraints.aux_numeric import build_aux_dispatch
+
+        return build_aux_dispatch(
+            self, main, publics, randomness, u256_bus_columns
+        )
+
+
+# ---------------------------------------------------------------------------
+# 16-bit range table AIR
+# ---------------------------------------------------------------------------
+
+R_V = 0
+R_M = 1
+R_ACT = 2
+RANGE_WIDTH = 3
+RANGE_VALUES = 1 << 16
+RANGE_ROWS = 1 << 17  # one padding half: the LogUp builders zero the last
+# row's fraction (no transition window there), so value 65535 must not sit
+# on the final row
+
+
+def range_bus_columns(f):
+    ch = Challenges(f)
+    one = f.const(1)
+    v = f.main(R_V)
+    m = f.main(R_M)
+    act = f.main(R_ACT)
+    neg_m = m * (P - 1)
+    return [mux(one, [(act, [(neg_m, ch.msg(SBUS_RANGE, [v]))])])]
+
+
+class RangeTableAir(Air):
+    """V = 0..65535 over the active prefix (structural), M = LogUp
+    multiplicities, padding rows inactive."""
+
+    width = RANGE_WIDTH
+    aux_width = 2
+    num_randomness = 2
+    num_aux_values = 1
+    num_public_values = 5
+
+    def eval(self, f) -> None:
+        v = f.main(R_V)
+        vn = f.main(R_V, 1)
+        act = f.main(R_ACT)
+        actn = f.main(R_ACT, 1)
+        m = f.main(R_M)
+        f.assert_zero(act * (act - 1), "range/act_bool")
+        f.assert_transition((1 - act) * actn, "range/act_monotone")
+        f.assert_zero_first_row(act - 1, "range/act_first")
+        f.assert_zero_last_row(act, "range/act_last")
+        f.assert_zero((1 - act) * m, "range/pad_mult_zero")
+        f.assert_zero_first_row(v, "range/v0")
+        f.assert_transition(actn * (vn - v - 1), "range/step")
+        # the active→inactive edge pins the full table size
+        f.assert_transition((act - actn) * (v - (RANGE_VALUES - 1)), "range/top")
+
+        (wiring,) = range_bus_columns(f)
+        acc = f.aux(0)
+        accn = f.aux(0, 1)
+        av = f.aux(1)
+        V, U = wiring
+        f.assert_transition(U * av - V, "bus/frac")
+        f.assert_transition(accn - acc - av, "bus/acc")
+        f.assert_zero_first_row(acc, "bus/acc_first")
+        f.assert_zero_last_row(acc - f.aux_value(0), "bus/acc_final")
+
+    aux_on_device = "tpu"
+
+    def build_aux_trace(self, main, publics, aux_inputs, randomness):
+        from ..vm.constraints.aux_numeric import build_aux_dispatch
+
+        return build_aux_dispatch(
+            self, main, publics, randomness, range_bus_columns
+        )
+
+
+class SessionPermAir(Poseidon2PermutationAir):
+    num_public_values = 5
+
+
+# ---------------------------------------------------------------------------
+# Trace builders
+# ---------------------------------------------------------------------------
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(1, (n - 1).bit_length())
+
+
+def build_session_traces(claims):
+    """(chain, u256, range, perm) trace matrices + the final root."""
+    n = len(claims)
+    assert n >= 1, "session requires at least one claim"
+    rows = _pow2(n + 1)  # ≥ one padding row (act monotone drop in-window)
+
+    chain = np.zeros((rows, CHAIN_WIDTH), dtype=np.uint64)
+    u256 = np.zeros((rows, U256_WIDTH), dtype=np.uint64)
+    perm_cycles: list = [None] * (6 * n)
+
+    root = DEFERRED_EMPTY_ROOT
+    for r, cl in enumerate(claims):
+        sa = _operand_digest_state(cl.a)
+        sb = _operand_digest_state(cl.b)
+        so = _operand_digest_state(cl.out)
+        ha, hb, ho = sa[0:4], sb[0:4], so[0:4]
+        s_d1 = hp.permute([*ha, *hb, 0, 0, 0, 0])
+        s_st = hp.permute([*s_d1[0:4], *ho, cl.id, 0, 0, 0])
+        s_fd = hp.permute([*root, *s_st[0:4], 1, 0, 0, 0])
+
+        row = chain[r]
+        row[CH_ACT] = 1
+        row[CH_PERM] = 3 * r
+        row[CH_ID] = cl.id
+        row[CH_PREV] = root
+        row[CH_HA], row[CH_HB], row[CH_HO] = ha, hb, ho
+        row[CH_D1], row[CH_STMT], row[CH_FOLD] = s_d1, s_st, s_fd
+        perm_cycles[3 * r] = ([*ha, *hb, 0, 0, 0, 0], 1)
+        perm_cycles[3 * r + 1] = ([*s_d1[0:4], *ho, cl.id, 0, 0, 0], 1)
+        perm_cycles[3 * r + 2] = ([*root, *s_st[0:4], 1, 0, 0, 0], 1)
+        root = tuple(s_fd[0:4])
+
+        urow = u256[r]
+        urow[U_ACT] = 1
+        urow[U_ID] = cl.id
+        urow[U_PERM] = 3 * n + 3 * r
+        la, lb, lo = _limbs16(cl.a), _limbs16(cl.b), _limbs16(cl.out)
+        urow[U_A], urow[U_B], urow[U_O] = la, lb, lo
+        carry = 0
+        for i in range(16):
+            s = la[i] + lb[i] + carry
+            carry = s >> 16
+            urow[U_C[i]] = carry
+        urow[U_HA], urow[U_HB], urow[U_HO] = sa, sb, so
+        perm_cycles[3 * n + 3 * r] = ([*_limbs32(cl.a), 0, 0, 0, 0], 1)
+        perm_cycles[3 * n + 3 * r + 1] = ([*_limbs32(cl.b), 0, 0, 0, 0], 1)
+        perm_cycles[3 * n + 3 * r + 2] = ([*_limbs32(cl.out), 0, 0, 0, 0], 1)
+
+    rng = np.zeros((RANGE_ROWS, RANGE_WIDTH), dtype=np.uint64)
+    rng[:RANGE_VALUES, R_V] = np.arange(RANGE_VALUES, dtype=np.uint64)
+    rng[:RANGE_VALUES, R_ACT] = 1
+    counts = np.zeros(RANGE_VALUES, dtype=np.int64)
+    for cl in claims:
+        for v in (*_limbs16(cl.a), *_limbs16(cl.b), *_limbs16(cl.out)):
+            counts[v] += 1
+    rng[:RANGE_VALUES, R_M] = counts.astype(np.uint64)
+
+    perm = VC.build_poseidon_trace(perm_cycles)
+    return chain, u256, rng, perm, root
+
+
+class SessionMultiAir(MultiAir):
+    def eval_external(self, randomness, aux_values, log_heights):
+        total = (0, 0)
+        for vals in aux_values:
+            for v in vals:
+                total = gl.ext_add(total, (int(v[0]), int(v[1])))
+        return [total]
+
+
+def _session_statement(root, n_claims: int) -> Statement:
+    publics = [*[v % P for v in root], n_claims]
+    return Statement(
+        SessionMultiAir(
+            [ChainAir(), U256Air(), RangeTableAir(), SessionPermAir()]
+        ),
+        publics,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Facade
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DeferredProof:
+    """Session proof + the public session shape."""
+
+    root: tuple
+    n_claims: int
+    stark: object  # stark.prover.Proof
+
+
+def prove_deferred_state(claims, params: PcsParams = MIDEN_PARAMS) -> DeferredProof:
+    """Prove the deferred claims; the returned root must equal the main
+    proof's bound deferred root (prove_deferred_state,
+    precompiles-prover/src/lib.rs:35)."""
+    from ..stark.prover import prove
+
+    chain, u256, rng, perm, root = build_session_traces(claims)
+    statement = _session_statement(root, len(claims))
+    res = prove(
+        params,
+        statement,
+        [chain, u256, rng, perm],
+        DuplexChallenger(SESSION_SEED),
+    )
+    return DeferredProof(root=root, n_claims=len(claims), stark=res.proof)
+
+
+def verify_deferred(
+    proof: DeferredProof, expected_root, params: PcsParams = MIDEN_PARAMS
+) -> None:
+    """Check the session proof against the deferred root bound by a main
+    proof (verify_deferred, precompiles-prover/src/session/prove.rs:371)."""
+    from ..stark.verifier import VerificationError, verify
+
+    if tuple(int(v) % P for v in proof.root) != tuple(
+        int(v) % P for v in expected_root
+    ):
+        raise VerificationError("deferred root mismatch")
+    statement = _session_statement(proof.root, proof.n_claims)
+    from ..transcript.challenger import TranscriptError
+
+    try:
+        verify(params, statement, proof.stark, DuplexChallenger(SESSION_SEED))
+    except TranscriptError as e:
+        raise VerificationError(str(e)) from e

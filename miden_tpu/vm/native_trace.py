@@ -73,6 +73,96 @@ def _op_tables(node: BasicBlockNode):
     )
 
 
+def _node_tables(node: BasicBlockNode):
+    cache = node.__dict__.get("_native_tables")
+    if cache is None:
+        cache = _op_tables(node)
+        node.__dict__["_native_tables"] = cache
+    return cache
+
+
+def native_block_segment(proc, tracer, node: BasicBlockNode, addr: int) -> bool:
+    """Execute + trace one basic block in C at the processor's current
+    state, splicing the rows (SPAN + ops + RESPANs + END) into the tracer
+    as a segment and advancing the processor (clk, stack, overflow).
+
+    Returns False (leaving all state untouched) when the block is outside
+    the native op subset — the caller then runs the exact Python path.
+    The hybrid keeps control flow (join/split/loop/call rows, memory and
+    chiplet ops) in Python at O(#nodes) cost while the op rows — the bulk
+    of any long trace — are written at C speed (reference analog: the
+    fragment-parallel ReplayProcessor, processor/src/trace/parallel/).
+    """
+    import ctypes
+    import os
+
+    if os.environ.get("MIDEN_TPU_NATIVE") == "0":
+        return False
+    if tracer is None or not hasattr(tracer, "append_segment"):
+        return False
+    try:
+        tables = _node_tables(node)
+    except NativeUnsupported:
+        return False
+    from ..native import trace_gen_lib
+
+    groups, n_groups, batch_of_op, codes, kinds, params, imms, has_imm = tables
+    n_ops = len(codes)
+    n_batches = len(n_groups)
+    n_rows = n_ops + n_batches + 1  # SPAN + ops + RESPANs + END
+
+    depth0 = proc.depth
+    stack_init = np.zeros(depth0, dtype=np.uint64)
+    stack_init[: len(proc.stack)] = [v % P for v in proc.stack[:depth0]]
+    ovf_init = np.asarray(proc.overflow_addrs, dtype=np.uint64)
+    fn_hash = np.asarray(proc.fn_hash, dtype=np.uint64)
+    digest = np.asarray(node.digest, dtype=np.uint64)
+
+    out = np.zeros((n_rows, L.CORE_WIDTH), dtype=np.uint64)
+    rc_out = np.zeros(max(4 * n_ops, 4), dtype=np.uint64)
+    stack_cap = depth0 + 32 + n_ops
+    stack_buf = np.zeros(stack_cap, dtype=np.uint64)
+    ovf_buf = np.zeros(stack_cap, dtype=np.uint64)
+    final16 = np.zeros(16, dtype=np.uint64)
+    final_ovf = np.zeros(stack_cap, dtype=np.uint64)
+    final_ovf_clk = np.zeros(stack_cap, dtype=np.uint64)
+    n_rc = np.zeros(1, dtype=np.int64)
+    final_depth = np.zeros(1, dtype=np.int64)
+    final_clk = np.zeros(1, dtype=np.uint64)
+
+    lib = trace_gen_lib()
+    u64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+    i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    rows = lib.run_block_segment(
+        u64p(groups), i64p(n_groups), n_batches,
+        i64p(batch_of_op), u64p(codes), i64p(kinds),
+        u64p(params), u64p(imms), u64p(has_imm), n_ops,
+        u64p(stack_init), depth0, u64p(ovf_init),
+        proc.clk, proc.ctx, u64p(fn_hash),
+        addr, tracer._cur_addr(), 1, u64p(digest),
+        u64p(out), n_rows, u64p(rc_out), i64p(n_rc),
+        u64p(stack_buf), u64p(ovf_buf), stack_cap,
+        u64p(final16), u64p(final_ovf), u64p(final_ovf_clk),
+        i64p(final_depth), u64p(final_clk),
+    )
+    if rows < 0:
+        from .processor import ExecutionError
+
+        raise ExecutionError(f"native block execution failed (code {rows})")
+    assert int(rows) == n_rows
+
+    tracer.append_segment(out)
+    depth = int(final_depth[0])
+    n_ovf = depth - L.MIN_STACK_DEPTH
+    proc.stack = [int(v) for v in final16] + [
+        int(v) for v in final_ovf[:n_ovf]
+    ]
+    proc.overflow_addrs = [int(v) for v in final_ovf_clk[:n_ovf]]
+    proc.depth = depth
+    proc.clk = int(final_clk[0])
+    return True
+
+
 def native_execute_and_trace(program: Program, stack_inputs=None):
     """Execute + build the core trace natively.
 

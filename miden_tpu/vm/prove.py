@@ -158,16 +158,33 @@ class VmMultiAir(MultiAir):
         return [total]
 
 
+_STATEMENT_CACHE: dict = {}
+
+
 def _statement(
     program_hash, stack_inputs, stack_outputs, kernel_digests=(),
     deferred_root=(0, 0, 0, 0),
 ) -> Statement:
+    # Reuse Statement objects per public claim: the fused prover's phase
+    # cache is keyed per Statement instance, so repeated proofs of the
+    # same program would otherwise re-trace (and re-hash for the compile
+    # cache) every phase.
+    key = (
+        tuple(program_hash),
+        tuple(stack_inputs),
+        tuple(stack_outputs),
+        tuple(tuple(d) for d in kernel_digests),
+        tuple(deferred_root),
+    )
+    hit = _STATEMENT_CACHE.get(key)
+    if hit is not None:
+        return hit
     publics = (
         list(stack_inputs) + list(stack_outputs) + list(program_hash)
         + list(deferred_root)
     )
     assert len(publics) == 40
-    return Statement(
+    st = Statement(
         VmMultiAir(
             [CoreVmAir(), ChipletsVmAir(), Poseidon2PermutationAir()],
             kernel_digests,
@@ -176,6 +193,10 @@ def _statement(
         publics,
         aux_inputs=[e % gl.P for d in kernel_digests for e in d],
     )
+    if len(_STATEMENT_CACHE) >= 16:
+        _STATEMENT_CACHE.pop(next(iter(_STATEMENT_CACHE)))
+    _STATEMENT_CACHE[key] = st
+    return st
 
 
 def prove_program(

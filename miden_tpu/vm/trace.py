@@ -90,10 +90,25 @@ class TraceBuilder:
     def __init__(self) -> None:
         self.proc = None
         self.rows: list[list[int]] = []
+        # native-traced row blocks: (python-row index they precede, array)
+        self.segments: list[tuple[int, np.ndarray]] = []
+        self._seg_rows = 0
         self.addr_stack: list = []  # SpanState | int (control-block addr)
         self.program_hash: tuple = (0, 0, 0, 0)
         self.stack_inputs: list[int] = []
         self._halted = False
+
+    @property
+    def n_rows(self) -> int:
+        """Virtual row count: python rows + native segment rows."""
+        return len(self.rows) + self._seg_rows
+
+    def append_segment(self, arr: np.ndarray) -> None:
+        """Splice a block of rows produced by the C interpreter (one whole
+        basic block: SPAN + ops + RESPANs + END) at the current position."""
+        assert arr.ndim == 2 and arr.shape[1] == L.CORE_WIDTH
+        self.segments.append((len(self.rows), arr))
+        self._seg_rows += arr.shape[0]
 
     # -- wiring -------------------------------------------------------------
 
@@ -149,7 +164,7 @@ class TraceBuilder:
             0,  # rc value
         ]
         assert len(row) == L.CORE_WIDTH
-        assert p.clk == len(self.rows), "one trace row per clk tick"
+        assert p.clk == self.n_rows, "one trace row per clk tick"
         self.rows.append(row)
         return row
 
@@ -308,11 +323,31 @@ class TraceBuilder:
 
     # -- finalize ------------------------------------------------------------
 
+    def _assemble_real_rows(self) -> np.ndarray:
+        """Merge python rows and native segments in emission order."""
+        py = np.asarray(self.rows, dtype=np.uint64).reshape(
+            len(self.rows), L.CORE_WIDTH
+        )
+        if not self.segments:
+            return py
+        blocks = []
+        prev = 0
+        for pos, arr in self.segments:  # positions are non-decreasing
+            if pos > prev:
+                blocks.append(py[prev:pos])
+                prev = pos
+            blocks.append(arr)
+        if prev < len(py):
+            blocks.append(py[prev:])
+        return np.concatenate(blocks, axis=0)
+
     def finalize(self, program: Program) -> CoreTrace:
         assert self._halted, "finalize before halt"
         p = self.proc
         self.program_hash = program.forest[program.entrypoint].digest
-        n_real = len(self.rows)
+        real = self._assemble_real_rows()
+        n_real = real.shape[0]
+        assert n_real == self.n_rows
 
         # chiplets trace (memory + bitwise regions); its 16-bit delta limbs
         # are range-checked through the core range column
@@ -329,14 +364,16 @@ class TraceBuilder:
 
         # 16-bit range-check requests: every u32rc-flagged row (opcode prefix
         # 0b100) requests its four helper limbs h2..h5 (docs range.md bus),
-        # plus the memory chiplet's d0/d1 limbs.
+        # plus the memory chiplet's d0/d1 limbs. Vectorized over the whole
+        # matrix (the per-row python loop was O(n) on multi-100k-row traces).
         requests: list[int] = list(mem_range)
-        for row in self.rows:
-            opcode = sum(row[L.OP_BITS[i]] << i for i in range(7))
-            if opcode >> 4 == 0b100:
-                requests.extend(
-                    row[c] for c in (L.HASHER[2], L.HASHER[3], L.HASHER[4], L.HASHER[5])
-                )
+        opcodes = np.zeros(n_real, dtype=np.uint64)
+        for i in range(7):
+            opcodes |= real[:, L.OP_BITS[i]] << np.uint64(i)
+        u32rc = (opcodes >> np.uint64(4)) == np.uint64(0b100)
+        if u32rc.any():
+            helper_cols = [L.HASHER[2], L.HASHER[3], L.HASHER[4], L.HASHER[5]]
+            requests.extend(int(v) for v in real[u32rc][:, helper_cols].reshape(-1))
         rc_rows = _range_checker_rows(requests)
 
         # Core height = pad(max(core rows incl. one HALT row, range table))
@@ -346,40 +383,43 @@ class TraceBuilder:
         n = 1 << (target - 1).bit_length()
 
         # HALT padding: program hash carried in h0..h3, stack copied forward,
-        # clk keeps incrementing (decoder/index.md §HALT)
+        # clk keeps incrementing (decoder/index.md §HALT) — one vectorized
+        # template fill instead of a per-row python loop.
         stack_out = list(p.stack[: L.MIN_STACK_DEPTH])
         bits = [(HALT >> i) & 1 for i in range(7)]
-        while len(self.rows) < n:
-            row = [
-                len(self.rows),
-                p.ctx,
-                *p.fn_hash,
-                0,
-                *bits,
-                *self.program_hash,
-                0, 0, 0, 0,
-                0, 0, 0,
-                0, 0, 0,
-                bits[6] & (1 - bits[5]) & bits[4],
-                bits[6] & bits[5],
-                *stack_out,
-                p.depth,
-                p.overflow_addr,
-                0, 0, 0,
-            ]
-            assert len(row) == L.CORE_WIDTH
-            self.rows.append(row)
+        pad_template = [
+            0,
+            p.ctx,
+            *p.fn_hash,
+            0,
+            *bits,
+            *self.program_hash,
+            0, 0, 0, 0,
+            0, 0, 0,
+            0, 0, 0,
+            bits[6] & (1 - bits[5]) & bits[4],
+            bits[6] & bits[5],
+            *stack_out,
+            p.depth,
+            p.overflow_addr,
+            0, 0, 0,
+        ]
+        assert len(pad_template) == L.CORE_WIDTH
 
         m = np.zeros((n, L.CORE_WIDTH), dtype=np.uint64)
-        m[:] = np.asarray(self.rows, dtype=np.uint64)
+        m[:n_real] = real
+        m[n_real:] = np.asarray(pad_template, dtype=np.uint64)
+        m[n_real:, L.CLK] = np.arange(n_real, n, dtype=np.uint64)
 
-        # stack helper h0 = 1/(b0 - 16), 0 at depth 16 (cached exact inverses)
-        inv_cache: dict[int, int] = {0: 0}
-        h0 = [
-            inv_cache.setdefault(d, pow(d, P - 2, P) if d else 0)
-            for d in ((int(b) - 16) % P for b in m[:, L.B0])
-        ]
-        m[:, L.H0] = np.asarray(h0, dtype=np.uint64)
+        # stack helper h0 = 1/(b0 - 16), 0 at depth 16 — depths are small and
+        # few, so invert the distinct values once and scatter through a LUT
+        depths = m[:, L.B0].astype(np.int64) - 16
+        uniq = np.unique(depths)
+        lut = np.zeros(int(uniq.max()) + 1 if uniq.size else 1, dtype=np.uint64)
+        for d in uniq:
+            d = int(d)
+            lut[d] = pow(d, P - 2, P) if d else 0
+        m[:, L.H0] = lut[depths]
 
         # range checker columns: bottom-aligned — all-zero padding rows
         # first, then values 0→65535 with powers-of-3 bridges and a trailing

@@ -24,11 +24,17 @@ from miden_tpu.vm.trace import TraceBuilder, execute_and_trace
 
 
 def _python_trace(program, stack_inputs=None):
+    import os
+
     if isinstance(stack_inputs, list):
         stack_inputs = StackInputs(stack_inputs)
     tracer = TraceBuilder()
     proc = Processor(program, stack_inputs, tracer=tracer)
-    out = proc.execute()
+    os.environ["MIDEN_TPU_NATIVE"] = "0"  # force the exact Python path:
+    try:  # the hybrid runs eligible blocks in C even under TraceBuilder
+        out = proc.execute()
+    finally:
+        os.environ.pop("MIDEN_TPU_NATIVE", None)
     return out, tracer.finalize(program)
 
 

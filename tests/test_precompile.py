@@ -1,0 +1,137 @@
+"""Precompile VM (deferred session) stage 1: u256-add claims.
+
+Fast tests check every session AIR's constraints on concrete traces with
+the exact scalar evaluator (stark.debug.check_air) including the cross-AIR
+LogUp balance; slow tests prove + verify the full second STARK and its
+binding to a main-VM proof's deferred root.
+"""
+
+import numpy as np
+import pytest
+
+from miden_tpu.field import gl
+from miden_tpu.precompile.session import (
+    ChainAir,
+    RangeTableAir,
+    SessionMultiAir,
+    U256Air,
+    SessionPermAir,
+    U256AddClaim,
+    build_session_traces,
+    claim_statement_digest,
+    deferred_root_for,
+    fold_deferred_root,
+    prove_deferred_state,
+    verify_deferred,
+)
+from miden_tpu.stark.debug import check_air
+from miden_tpu.stark.params import TEST_PARAMS
+
+RAND = [(0x1234_5678_9ABC_DEF0, 0x0FED_CBA9_8765_4321), (12345, 67890)]
+
+CLAIMS = [
+    U256AddClaim(a=(1 << 255) + 12345, b=(1 << 255) + (7 << 128)),  # wraps
+    U256AddClaim(a=0xDEADBEEF, b=(1 << 200) - 1),
+]
+
+
+def _publics(root, n):
+    return [*[int(v) % gl.P for v in root], n]
+
+
+def test_session_airs_satisfy_constraints_and_balance():
+    chain, u256, rng, perm, root = build_session_traces(CLAIMS)
+    publics = _publics(root, len(CLAIMS))
+    finals = []
+    for air, main in (
+        (ChainAir(), chain),
+        (U256Air(), u256),
+        (RangeTableAir(), rng),
+        (SessionPermAir(), perm),
+    ):
+        aux, vals = air.build_aux_trace(main, publics, [], RAND)
+        vs = check_air(
+            air, main, aux=aux, publics=publics, randomness=RAND,
+            aux_values=vals,
+        )
+        assert not vs, f"{type(air).__name__}: {vs[:4]}"
+        finals.extend(vals)
+    total = SessionMultiAir([]).eval_external(RAND, [finals], [])[0]
+    assert tuple(total) == (0, 0), f"LogUp imbalance: {total}"
+
+
+def test_chain_rejects_wrong_root_or_data():
+    chain, u256, rng, perm, root = build_session_traces(CLAIMS)
+    # wrong public root → root-binding constraint fires
+    bad_publics = _publics((root[0] ^ 1, *root[1:]), len(CLAIMS))
+    air = ChainAir()
+    aux, vals = air.build_aux_trace(chain, bad_publics, [], RAND)
+    vs = check_air(air, chain, aux=aux, publics=bad_publics,
+                   randomness=RAND, aux_values=vals)
+    labels = [
+        air.label_order[v.index]
+        for v in vs
+        if v.index < len(air.label_order)
+    ]
+    assert any("root" in l for l in labels), (vs[:3], labels[:3])
+
+    # tampered u256 output limb → addition constraint fires
+    from miden_tpu.precompile.session import U_O
+
+    bad = u256.copy()
+    bad[0, U_O[3]] ^= 1
+    uair = U256Air()
+    aux, vals = uair.build_aux_trace(bad, _publics(root, 2), [], RAND)
+    vs = check_air(uair, bad, aux=aux, publics=_publics(root, 2),
+                   randomness=RAND, aux_values=vals)
+    assert vs, "tampered sum accepted"
+
+
+def test_digest_matches_vm_logdeferred_semantics():
+    """The session's fold function is the LOGDEFERRED op's fold."""
+    from miden_tpu.hash import poseidon2_host as hp
+
+    root = (0, 0, 0, 0)
+    stmt = claim_statement_digest(CLAIMS[0])
+    assert fold_deferred_root(root, stmt) == tuple(
+        hp.permute([*root, *stmt, 1, 0, 0, 0])[0:4]
+    )
+    assert deferred_root_for(CLAIMS) != (0, 0, 0, 0)
+
+
+@pytest.mark.slow
+def test_prove_verify_deferred_e2e():
+    proof = prove_deferred_state(CLAIMS, params=TEST_PARAMS)
+    verify_deferred(proof, proof.root, params=TEST_PARAMS)
+
+    from miden_tpu.stark.verifier import VerificationError
+
+    with pytest.raises(VerificationError):
+        verify_deferred(proof, (1, 2, 3, 4), params=TEST_PARAMS)
+
+
+@pytest.mark.slow
+def test_main_proof_binds_session_root_e2e():
+    """A MASM program LOGDEFERREDs the claims' statement digests; the main
+    proof's deferred root then equals the session proof's root, closing
+    the loop the reference closes in prover/src/lib.rs:193-199."""
+    from miden_tpu.vm.assembler import assemble
+    from miden_tpu.vm.prove import prove_program, verify_program
+
+    stmts = [claim_statement_digest(c) for c in CLAIMS]
+    pushes = []
+    for s in stmts:
+        # stack for log_deferred: statement digest at s[4:8]
+        pushes.append(
+            "push.0.0.0.0 "
+            + f"push.{s[3]}.{s[2]}.{s[1]}.{s[0]} "
+            + "swapw log_deferred dropw dropw dropw"
+        )
+    src = "begin " + " ".join(pushes) + " end"
+    prog = assemble(src)
+    out, proof = prove_program(prog, params=TEST_PARAMS)
+    verify_program(proof, params=TEST_PARAMS)
+
+    session = prove_deferred_state(CLAIMS, params=TEST_PARAMS)
+    assert tuple(session.root) == tuple(proof.deferred_root)
+    verify_deferred(session, proof.deferred_root, params=TEST_PARAMS)

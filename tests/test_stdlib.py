@@ -332,3 +332,119 @@ def test_u64_program_proves_e2e():
     assert out.stack[0] == expect & M32
     assert out.stack[1] == expect >> 32
     verify_program(proof, params=TEST_PARAMS)
+
+
+# ---------------------------------------------------------------------------
+# word module
+# ---------------------------------------------------------------------------
+
+WORDS = [
+    ((0, 0, 0, 0), (0, 0, 0, 0)),
+    ((1, 2, 3, 4), (1, 2, 3, 4)),
+    ((1, 2, 3, 4), (1, 2, 3, 5)),
+    ((5, 2, 3, 4), (1, 2, 3, 4)),
+    ((9, 9, 9, 1), (1, 1, 1, 2)),
+    ((M64 - 1, 0, 0, 0), (0, M64 - 1, 0, 0)),
+    ((7, 7, 7, 7), (7, 7, 7, 8)),
+]
+
+
+def _word_key(w):
+    # most-significant element first (Merkle key order)
+    return tuple(reversed(w))
+
+
+def run_word(proc: str, stack_inputs: list[int]) -> list[int]:
+    src = f"use miden::core::word\nbegin exec.word::{proc} end"
+    out = execute(assemble_with_stdlib(src), stack_inputs)
+    return out.stack
+
+
+def _push_words(rhs, lhs):
+    # stack inputs list: index 0 = top of stack = r0
+    return list(rhs) + list(lhs)
+
+
+@pytest.mark.parametrize("rhs,lhs", WORDS)
+def test_word_comparisons(rhs, lhs):
+    for proc, expect in (
+        ("gt", _word_key(lhs) > _word_key(rhs)),
+        ("gte", _word_key(lhs) >= _word_key(rhs)),
+        ("lt", _word_key(lhs) < _word_key(rhs)),
+        ("lte", _word_key(lhs) <= _word_key(rhs)),
+        ("eq", lhs == rhs),
+    ):
+        got = run_word(proc, _push_words(rhs, lhs))
+        assert got[0] == int(expect), (proc, rhs, lhs, got[:2])
+
+
+def test_word_test_eq_preserves():
+    rhs, lhs = (1, 2, 3, 4), (1, 2, 3, 4)
+    got = run_word("test_eq", _push_words(rhs, lhs))
+    assert got[0] == 1
+    assert tuple(got[1:5]) == rhs and tuple(got[5:9]) == lhs
+    got = run_word("test_eq", _push_words((9, 2, 3, 4), lhs))
+    assert got[0] == 0
+
+
+def test_word_eqz_testz_reverse():
+    assert run_word("eqz", [0, 0, 0, 0])[0] == 1
+    assert run_word("eqz", [0, 0, 1, 0])[0] == 0
+    got = run_word("testz", [0, 0, 0, 0])
+    assert got[0] == 1 and got[1:5] == [0, 0, 0, 0]
+    got = run_word("reverse", [1, 2, 3, 4])
+    assert got[0:4] == [4, 3, 2, 1]
+
+
+def test_word_store_u32s_le():
+    src = (
+        "use miden::core::word\n"
+        "begin push.100 movdn.4 exec.word::store_word_u32s_le "
+        "push.100 mem_load push.101 mem_load push.104 mem_load "
+        "push.107 mem_load end"
+    )
+    a = (5 << 32) | 7
+    b = 11
+    c = (1 << 63)
+    d = M64 - (1 << 32)
+    out = execute(assemble_with_stdlib(src), [a, b, c, d])
+    # loaded: [mem[107], mem[104], mem[101], mem[100], ...]
+    assert out.stack[3] == a & M32  # w0_lo at ptr
+    assert out.stack[2] == a >> 32  # w0_hi at ptr+1
+    assert out.stack[1] == c & M32  # w2_lo at ptr+4
+    assert out.stack[0] == d >> 32  # w3_hi at ptr+7
+
+
+# ---------------------------------------------------------------------------
+# mem module
+# ---------------------------------------------------------------------------
+
+
+def test_memcopy_words_and_elements():
+    src = (
+        "use miden::core::mem\n"
+        "begin "
+        # write two words at 1000.. then copy to 2000..
+        "push.1.2.3.4 push.1000 mem_storew_le dropw "
+        "push.5.6.7.8 push.1004 mem_storew_le dropw "
+        "push.2000 push.1000 push.2 exec.mem::memcopy_words "
+        "push.2000 mem_load push.2005 mem_load "
+        # element copy: 3 elements 1000 -> 3000
+        "push.3000 push.1000 push.3 exec.mem::memcopy_elements "
+        "push.3002 mem_load "
+        "end"
+    )
+    out = execute(assemble_with_stdlib(src))
+    # push.1.2.3.4 leaves 4 on top => memory[1000..1004] = [4,3,2,1]
+    assert out.stack[2] == 4  # mem[2000]
+    assert out.stack[1] == 7  # mem[2005] = mem[1005]
+    assert out.stack[0] == 2  # mem[3002]
+
+
+def test_memcopy_rejects_overlap():
+    src = (
+        "use miden::core::mem\n"
+        "begin push.1002 push.1000 push.2 exec.mem::memcopy_words end"
+    )
+    with pytest.raises(ExecutionError):
+        execute(assemble_with_stdlib(src))
