@@ -207,7 +207,34 @@ def prove_fused(params, statement, traces, challenger, preprocessed=None):
         obuf_n = meta["obuf_n_out"]
         return out
 
+    # Above ~2^19 the per-phase graphs grow past what the remote compile
+    # service reliably handles (~100 MB MLIR uploads die with broken pipes
+    # and multi-hour compiles); split LDEs / tree builds / per-instance
+    # constraint evaluation into their own phases there. Smaller sizes keep
+    # the coarser (already-cached) phase structure.
+    fine = max_log_h >= 19 or os.environ.get("MIDEN_TPU_FUSED_FINE") == "1"
+
+    def _lde_one(ch, args):
+        (m,) = args
+        n, w = m.shape
+        if w == 0:
+            return Fp(
+                jnp.zeros((n << log_blowup, 0), jnp.uint32),
+                jnp.zeros((n << log_blowup, 0), jnp.uint32),
+            )
+        shift = gl.canonical_lde_shift((n.bit_length() - 1) + log_blowup)
+        from ..ntt import ntt
+
+        return ntt.coset_lde_jit(m, log_blowup, shift)
+
     # --- phase 1: statement binding + main commit --------------------------
+    def body_bind(ch, args):
+        (pp_root,) = args
+        if pp_root is not None:
+            ch.challenger.observe_arr(pp_root)
+        statement.observe(ch.challenger, log_heights)
+        return ()
+
     def body_main(ch, args):
         traces_t, pp_root = args
         if pp_root is not None:
@@ -219,8 +246,22 @@ def prove_fused(params, statement, traces, challenger, preprocessed=None):
         ch.send_commitment(tree.root_dev())
         return tree
 
+    def body_tree(ch, args):
+        ldes = list(args)
+        tree = lmcs.build_tree(ldes, hash=hash_cfg)
+        ch.send_commitment(tree.root_dev())
+        return tree
+
     pp_root = preprocessed.tree.root_dev() if preprocessed is not None else None
-    main_tree = run("main", body_main, (traces_fp, pp_root))
+    if fine:
+        run("bind", body_bind, (pp_root,))
+        main_ldes = [
+            run(f"lde{k}", _lde_one, (traces_fp[i],))
+            for k, i in enumerate(order)
+        ]
+        main_tree = run("mtree", body_tree, tuple(main_ldes))
+    else:
+        main_tree = run("main", body_main, (traces_fp, pp_root))
 
     # --- phase 2: aux randomness + aux commit + fold challenges ------------
     def body_aux(ch, args):
@@ -257,9 +298,58 @@ def prove_fused(params, statement, traces, challenger, preprocessed=None):
         beta = ch.sample_ext()
         return tree, tuple(aux_values), _fp2_stack(randomness), alpha, beta
 
-    aux_tree, aux_values, rand_d, alpha, beta = run(
-        "aux", body_aux, (traces_fp,)
-    )
+    def body_auxbuild(ch, args):
+        (traces_t,) = args
+        randomness = [ch.sample_ext() for _ in range(max_rand)]
+        aux_flat_inst, aux_values_inst = [], []
+        for a, t in zip(airs, traces_t):
+            aux_t, vals = a.build_aux_trace(
+                t,
+                statement.publics,
+                statement.aux_inputs,
+                randomness[: a.num_randomness],
+            )
+            if not isinstance(aux_t, Fp):
+                arr = np.asarray(aux_t, dtype=np.uint64)
+                n = arr.shape[0] if arr.ndim else t.shape[0]
+                aux_t = fp_from_u64(np.ascontiguousarray(arr.reshape(n, -1)))
+            if not isinstance(vals, Fp2):
+                vals = fp2_from_pairs_u64(
+                    np.asarray(vals, dtype=np.uint64).reshape(len(vals), 2)
+                )
+            aux_flat_inst.append(aux_t)
+            aux_values_inst.append(vals)
+        return tuple(aux_flat_inst), tuple(aux_values_inst), _fp2_stack(randomness)
+
+    def body_auxfinish(ch, args):
+        tree, aux_values_inst = args
+        ch.send_commitment(tree.root_dev())
+        aux_values = [aux_values_inst[i] for i in order]
+        for vals in aux_values:
+            ch.send_ext_slice(vals)
+        alpha = ch.sample_ext()
+        beta = ch.sample_ext()
+        return tuple(aux_values), alpha, beta
+
+    def body_tree_nosend(ch, args):
+        return lmcs.build_tree(list(args), hash=hash_cfg)
+
+    if fine:
+        aux_flat_inst, aux_values_inst, rand_d = run(
+            "auxbuild", body_auxbuild, (traces_fp,)
+        )
+        aux_ldes = [
+            run(f"auxlde{k}", _lde_one, (aux_flat_inst[i],))
+            for k, i in enumerate(order)
+        ]
+        aux_tree = run("auxtree", body_tree_nosend, tuple(aux_ldes))
+        aux_values, alpha, beta = run(
+            "auxfinish", body_auxfinish, (aux_tree, aux_values_inst)
+        )
+    else:
+        aux_tree, aux_values, rand_d, alpha, beta = run(
+            "aux", body_aux, (traces_fp,)
+        )
 
     # --- phase 3: constraint eval + quotient commit + OOD point ------------
     def body_quot(ch, args):
@@ -296,11 +386,54 @@ def prove_fused(params, statement, traces, challenger, preprocessed=None):
         return qtree, z
 
     pp_mats = tuple(preprocessed.tree.matrices) if preprocessed else ()
-    quotient_tree, z = run(
-        "quotient",
-        body_quot,
-        (main_tree, aux_tree, pp_mats, alpha, beta, rand_d, aux_values),
-    )
+    if fine:
+        def _quot_one(ch, args, k=None, i=None):
+            main_m, aux_m, pp_m, alpha, beta, rand_d, aux_v, acc = args
+            air = airs[i]
+            dom = domains[k]
+            q = evaluate_quotient(
+                air, dom, main_m, aux_m, log_ds[k], alpha, pub_d,
+                rand_d[: air.num_randomness], aux_v, pp_m,
+            )
+            if log_ds[k] < log_d:
+                q = upsample_evals(q, dom.lde_shift, log_d - log_ds[k])
+            target = dom.trace_height << log_d
+            if acc is None:
+                return q
+            return _accumulate_step(target // acc.shape[0], acc, q, beta)
+
+        acc = None
+        for k, i in enumerate(order):
+            import functools as _ft
+
+            acc = run(
+                f"quot{k}",
+                _ft.partial(_quot_one, k=k, i=i),
+                (
+                    main_tree.matrices[k],
+                    aux_tree.matrices[k] if airs[i].aux_width else None,
+                    pp_mats[pp_for_air[i]] if airs[i].preprocessed_width else None,
+                    alpha, beta, rand_d, aux_values[k], acc,
+                ),
+            )
+
+        def body_qcommit(ch, args):
+            (acc,) = args
+            qtree = commit_quotient(
+                acc, max_domain, log_d, log_blowup, hash=hash_cfg
+            )
+            ch.send_commitment(qtree.root_dev())
+            z = ch.sample_ext()
+            ch.check("ood point outside domains", _ood_valid_flag(max_domain, z))
+            return qtree, z
+
+        quotient_tree, z = run("qcommit", body_qcommit, (acc,))
+    else:
+        quotient_tree, z = run(
+            "quotient",
+            body_quot,
+            (main_tree, aux_tree, pp_mats, alpha, beta, rand_d, aux_values),
+        )
 
     # --- phases 4..: PCS opening, split finely: whole-opening graphs
     # compile super-linearly (XLA), so claims / DEEP / each FRI round /

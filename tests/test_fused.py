@@ -58,3 +58,18 @@ def test_fused_phase_cache_reuse():
     assert len(fused_mod._PHASE_CACHE) == n_entries
     assert p1.proof.data.fields == p2.proof.data.fields
     assert p1.proof.data.commitments == p2.proof.data.commitments
+
+
+@pytest.mark.slow
+def test_fused_fine_phase_split_matches_eager():
+    """The finer phase split used at ≥ 2^19 (per-LDE / per-tree / per-
+    instance-quotient phases) produces the same bytes as the eager path."""
+    statement, traces = miden_shaped_statement(6)
+    eager = _prove_with(False, statement, traces)
+    os.environ["MIDEN_TPU_FUSED_FINE"] = "1"
+    try:
+        fused = _prove_with(True, statement, traces)
+    finally:
+        os.environ.pop("MIDEN_TPU_FUSED_FINE", None)
+    assert fused.proof.data.fields == eager.proof.data.fields
+    assert fused.proof.data.commitments == eager.proof.data.commitments
