@@ -20,8 +20,35 @@ from ..field.goldilocks import (
 
 
 def prefix_sum_ext(terms: Fp2) -> Fp2:
-    """Inclusive prefix sum of extension elements along axis 0."""
-    return jax.lax.associative_scan(fp2_add, terms, axis=0)
+    """Inclusive prefix sum of extension elements along axis 0.
+
+    Above 2^16 rows the flat ``associative_scan`` graph (log-depth slicing/
+    concat levels over the full array) reliably crashes the remote XLA
+    compile helper; the blocked form — in-block scans batched over blocks,
+    then a small sequential ``lax.scan`` over block totals — compiles a
+    fraction of the graph for two passes of runtime work."""
+    n = terms.shape[0]
+    if n <= (1 << 16) or (n & (n - 1)):
+        return jax.lax.associative_scan(fp2_add, terms, axis=0)
+    block = 1 << 12
+    c = n // block
+    rest = terms.shape[1:]
+    v = terms.reshape(c, block, *rest)
+    inblock = jax.lax.associative_scan(fp2_add, v, axis=1)
+    totals = inblock[:, block - 1]  # (c, ...)
+
+    def step(carry, t):
+        return fp2_add(carry, t), carry  # exclusive prefix of block totals
+
+    from ..field.goldilocks import fp2_zeros
+
+    _, offsets = jax.lax.scan(step, fp2_zeros(rest), totals)
+    # broadcast offsets over in-block rows
+    from ..field.goldilocks import fp2_broadcast_to
+
+    off = offsets.reshape(c, 1, *rest)
+    out = fp2_add(inblock, fp2_broadcast_to(off, inblock.shape))
+    return out.reshape(n, *rest)
 
 
 def running_sum_aux(terms: Fp2):
