@@ -260,6 +260,10 @@ def prove_fused(params, statement, traces, challenger, preprocessed=None):
             for k, i in enumerate(order)
         ]
         main_tree = run("mtree", body_tree, tuple(main_ldes))
+        # jit outputs are fresh buffers: the tree holds copies of the LDE
+        # matrices, so the phase-local originals must be dropped or the
+        # biggest arrays are held twice (OOMs the chip at 2^20)
+        del main_ldes
     else:
         main_tree = run("main", body_main, (traces_fp, pp_root))
 
@@ -343,6 +347,7 @@ def prove_fused(params, statement, traces, challenger, preprocessed=None):
             for k, i in enumerate(order)
         ]
         aux_tree = run("auxtree", body_tree_nosend, tuple(aux_ldes))
+        del aux_ldes, aux_flat_inst  # see main_ldes note
         aux_values, alpha, beta = run(
             "auxfinish", body_auxfinish, (aux_tree, aux_values_inst)
         )

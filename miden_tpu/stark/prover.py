@@ -178,6 +178,11 @@ def evaluate_quotient(
         _os.environ.get("MIDEN_TPU_INTERP") == "1"
         or _jax.default_backend() == "cpu"
         or getattr(air, "prefer_interp", False)
+        # large domains: the fused graph materializes several (width, n·D)
+        # extension temporaries at once (~0.9 GB each at 2^20) and OOMs the
+        # 16 GB chip next to the retained LDEs; the bytecode evaluator's
+        # peak is its register file
+        or (domain.trace_height << log_d) >= (1 << 21)
     ):
         # bytecode evaluator: O(1) compiled-program size — required on the
         # CPU test mesh where XLA cannot compile the fused VM-AIR graph,
