@@ -120,15 +120,42 @@ def _bary_weights_dev(log_m: int, shift: int, log_lift: int, z: Fp2):
     return weights, scale
 
 
+#: chunk row-reductions over matrices taller than this: the one-shot form
+#: materializes an (m, w) extension product (4 u32 arrays — ~6.8 GB at
+#: 2^23×51) and its log-depth halving intermediates, which blows the HBM
+#: budget at the 2^20 contract size
+_ROW_CHUNK_ABOVE = 1 << 22
+
+
+def _row_chunks(m: int) -> int:
+    return 1 << 3  # 8 sequential chunks bounds peak temps to m/8 rows
+
+
 @_jax.jit
 def _weighted_eval_dev(weights: Fp2, scale: Fp2, matrix: Fp) -> Fp2:
     """scale · Σ_i weights_i·f_col(x_i) per column. Returns Fp2 (w,)."""
-    wcol = Fp2(
-        Fp(weights.c0.lo[:, None], weights.c0.hi[:, None]),
-        Fp(weights.c1.lo[:, None], weights.c1.hi[:, None]),
-    )
-    sums = fp2_sum_axis0(fp2_mul_base(wcol, matrix))  # (w,) ext
-    w = matrix.shape[1]
+    m, w = matrix.shape
+
+    def one_shot(wts: Fp2, mat: Fp) -> Fp2:
+        wcol = Fp2(
+            Fp(wts.c0.lo[:, None], wts.c0.hi[:, None]),
+            Fp(wts.c1.lo[:, None], wts.c1.hi[:, None]),
+        )
+        return fp2_sum_axis0(fp2_mul_base(wcol, mat))  # (w,) ext
+
+    if m <= _ROW_CHUNK_ABOVE:
+        sums = one_shot(weights, matrix)
+    else:
+        c = _row_chunks(m)
+        b = m // c
+        wv = weights.reshape(c, b)
+        mv = matrix.reshape(c, b, w)
+
+        def body(acc: Fp2, xs):
+            wts, mat = xs
+            return fp2_add(acc, one_shot(wts, mat)), None
+
+        sums, _ = _jax.lax.scan(body, fp2_zeros((w,)), (wv, mv))
     return fp2_mul(fp2_broadcast_to(scale, (w,)), sums)
 
 
@@ -275,12 +302,25 @@ def _deep_compose_dev(
     big_n = domain.lde_height
     f_red = None
     for matrix, carr in zip(matrices, coeff_arrays):
-        h = matrix.shape[0]
+        h, w = matrix.shape
         crow = Fp2(
             Fp(carr.c0.lo[None, :], carr.c0.hi[None, :]),
             Fp(carr.c1.lo[None, :], carr.c1.hi[None, :]),
         )
-        part = fp2_sum_axis1(fp2_mul_base(crow, matrix))  # (h,) ext
+        if h <= _ROW_CHUNK_ABOVE:
+            part = fp2_sum_axis1(fp2_mul_base(crow, matrix))  # (h,) ext
+        else:
+            # chunk tall matrices: the (h, w) ext product is ~6.8 GB at
+            # 2^23×51 (see _ROW_CHUNK_ABOVE)
+            c = _row_chunks(h)
+            b = h // c
+            mv = matrix.reshape(c, b, w)
+
+            def body(_, mat):
+                return None, fp2_sum_axis1(fp2_mul_base(crow, mat))
+
+            _, parts = _jax.lax.scan(body, None, mv)  # (c, b) ext
+            part = parts.reshape(h)
         part = fp2_tile(part, big_n // h)
         f_red = part if f_red is None else fp2_add(f_red, part)
 
