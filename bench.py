@@ -13,7 +13,7 @@ hash takes 6.9 s on a 64-thread AMD EPYC 9R45 (BASELINE.md; README.md:154).
 64-core Rust prover.
 
 Env:
-  BENCH_LOG_N   core trace log2 height (default 16)
+  BENCH_LOG_N   core trace log2 height (default 20)
   BENCH_VERIFY  "1" to also verify the proof (off by default; verification
                 is host-side and not the benched quantity)
 """
@@ -72,7 +72,7 @@ def main() -> None:
     if os.environ.get("BENCH_VM") == "1":
         bench_vm()
         return
-    log_n = int(os.environ.get("BENCH_LOG_N", "18"))
+    log_n = int(os.environ.get("BENCH_LOG_N", "20"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     from miden_tpu.bench_airs import miden_shaped_statement
