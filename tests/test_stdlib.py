@@ -448,3 +448,81 @@ def test_memcopy_rejects_overlap():
     )
     with pytest.raises(ExecutionError):
         execute(assemble_with_stdlib(src))
+
+
+# ---------------------------------------------------------------------------
+# u128 module
+# ---------------------------------------------------------------------------
+
+M128 = (1 << 128) - 1
+
+
+def limbs128(v: int) -> list[int]:
+    return [(v >> (32 * i)) & M32 for i in range(4)]
+
+
+def run_u128(proc: str, b: int, a: int, unary=False) -> list[int]:
+    src = f"use miden::core::math::u128\nbegin exec.u128::{proc} end"
+    inputs = limbs128(b) if unary else limbs128(b) + limbs128(a)
+    return execute(assemble_with_stdlib(src), inputs).stack
+
+
+U128_PAIRS = [
+    (0, 0),
+    (1, 0),
+    (0, 1),
+    (M128, M128),
+    (M128, 1),
+    (1, M128),
+    (1 << 64, (1 << 64) - 1),
+    (1 << 127, 1 << 127),
+    (0xDEADBEEF_CAFEBABE_12345678_9ABCDEF0, 0x0F1E2D3C_4B5A6978_87A9CBED_FEDCBA98),
+    ((1 << 96) - 1, (1 << 32) + 5),
+]
+
+
+@pytest.mark.parametrize("b,a", U128_PAIRS)
+def test_u128_add_sub_mul(b, a):
+    got = run_u128("overflowing_add", b, a)
+    total = a + b
+    assert got[0] == (total >> 128) and got[1:5] == limbs128(total & M128)
+    got = run_u128("wrapping_add", b, a)
+    assert got[0:4] == limbs128(total & M128)
+    got = run_u128("widening_add", b, a)
+    assert got[0:4] == limbs128(total & M128) and got[4] == (total >> 128)
+
+    diff = a - b
+    got = run_u128("overflowing_sub", b, a)
+    assert got[0] == int(diff < 0) and got[1:5] == limbs128(diff & M128)
+    got = run_u128("wrapping_sub", b, a)
+    assert got[0:4] == limbs128(diff & M128)
+
+    got = run_u128("wrapping_mul", b, a)
+    assert got[0:4] == limbs128((a * b) & M128), (hex(a), hex(b))
+
+
+@pytest.mark.parametrize("b,a", U128_PAIRS)
+def test_u128_comparisons(b, a):
+    for proc, expect in (
+        ("eq", a == b), ("neq", a != b), ("lt", a < b), ("gt", a > b),
+        ("lte", a <= b), ("gte", a >= b),
+    ):
+        got = run_u128(proc, b, a)
+        assert got[0] == int(expect), (proc, hex(a), hex(b), got[:2])
+    got = run_u128("min", b, a)
+    assert got[0:4] == limbs128(min(a, b))
+    got = run_u128("max", b, a)
+    assert got[0:4] == limbs128(max(a, b))
+
+
+@pytest.mark.parametrize("b,a", U128_PAIRS)
+def test_u128_bitwise(b, a):
+    for proc, expect in (
+        ("and", a & b), ("or", a | b), ("xor", a ^ b),
+    ):
+        got = run_u128(proc, b, a)
+        assert got[0:4] == limbs128(expect), proc
+    got = run_u128("not", a, 0, unary=True)
+    assert got[0:4] == limbs128(a ^ M128)
+    got = run_u128("eqz", a, 0, unary=True)
+    assert got[0] == int(a == 0)
