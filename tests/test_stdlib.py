@@ -526,3 +526,69 @@ def test_u128_bitwise(b, a):
     assert got[0:4] == limbs128(a ^ M128)
     got = run_u128("eqz", a, 0, unary=True)
     assert got[0] == int(a == 0)
+
+
+# ---------------------------------------------------------------------------
+# u256 module
+# ---------------------------------------------------------------------------
+
+M256 = (1 << 256) - 1
+
+
+def limbs256(v: int) -> list[int]:
+    return [(v >> (32 * i)) & M32 for i in range(8)]
+
+
+def run_u256(proc: str, b: int, a: int, unary=False) -> list[int]:
+    src = f"use miden::core::math::u256\nbegin exec.u256::{proc} end"
+    inputs = limbs256(b) if unary else limbs256(b) + limbs256(a)
+    return execute(assemble_with_stdlib(src), inputs).stack
+
+
+U256_PAIRS = [
+    (0, 0),
+    (1, 0),
+    (M256, M256),
+    (M256, 1),
+    (1 << 128, (1 << 128) - 1),
+    (1 << 255, 1 << 255),
+    (0xDEADBEEF_CAFEBABE_12345678_9ABCDEF0_0F1E2D3C_4B5A6978_87A9CBED_FEDCBA98,
+     0x01234567_89ABCDEF_FEDCBA98_76543210_DEADC0DE_8BADF00D_0D15EA5E_CAFED00D),
+    ((1 << 224) - 1, (1 << 32) + 5),
+]
+
+
+@pytest.mark.parametrize("b,a", U256_PAIRS)
+def test_u256_add_sub_mul(b, a):
+    total = a + b
+    got = run_u256("overflowing_add", b, a)
+    assert got[0] == (total >> 256)
+    assert got[1:9] == limbs256(total & M256)
+    got = run_u256("wrapping_add", b, a)
+    assert got[0:8] == limbs256(total & M256)
+
+    diff = a - b
+    got = run_u256("overflowing_sub", b, a)
+    assert got[0] == int(diff < 0) and got[1:9] == limbs256(diff & M256)
+    got = run_u256("wrapping_sub", b, a)
+    assert got[0:8] == limbs256(diff & M256)
+
+    got = run_u256("wrapping_mul", b, a)
+    assert got[0:8] == limbs256((a * b) & M256), (hex(a), hex(b))
+
+
+@pytest.mark.parametrize("b,a", U256_PAIRS)
+def test_u256_comparisons_bitwise(b, a):
+    for proc, expect in (
+        ("eq", a == b), ("neq", a != b), ("lt", a < b), ("gt", a > b),
+        ("lte", a <= b), ("gte", a >= b),
+    ):
+        got = run_u256(proc, b, a)
+        assert got[0] == int(expect), (proc, hex(a), hex(b))
+    for proc, expect in (("and", a & b), ("or", a | b), ("xor", a ^ b)):
+        got = run_u256(proc, b, a)
+        assert got[0:8] == limbs256(expect), proc
+    got = run_u256("not", a, 0, unary=True)
+    assert got[0:8] == limbs256(a ^ M256)
+    got = run_u256("eqz", a, 0, unary=True)
+    assert got[0] == int(a == 0)
