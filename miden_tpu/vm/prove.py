@@ -233,15 +233,44 @@ def prove_program(
     )
 
 
-def verify_program(proof: VmProof, params: PcsParams = MIDEN_PARAMS) -> None:
+def verify_program(
+    proof: VmProof,
+    params: PcsParams = MIDEN_PARAMS,
+    deferred=None,
+    partial: bool = False,
+) -> None:
     """Verify an execution proof against its public claim
-    (verifier/src/lib.rs:99). Raises VerificationError on any failure."""
+    (verifier/src/lib.rs:99). Raises VerificationError on any failure.
+
+    When the proof binds a non-zero deferred root (the execution logged
+    precompile claims via LOGDEFERRED), a matching deferred-session proof
+    must be supplied as ``deferred`` (miden_tpu.precompile.DeferredProof)
+    and is verified against the bound root — the reference's
+    `resolve_final_deferred_root` step (verifier/src/lib.rs:99-110).
+    ``partial=True`` skips that resolution (`Verifier::verify_partial`,
+    verifier/src/lib.rs:46-48): the caller takes responsibility for
+    discharging the deferred root later."""
     from ..stark.verifier import VerificationError, verify
 
     if len(proof.stack_inputs) != L.MIN_STACK_DEPTH:
         raise VerificationError("stack inputs must have 16 entries")
     if len(proof.stack_outputs) != L.MIN_STACK_DEPTH:
         raise VerificationError("stack outputs must have 16 entries")
+    if not partial:
+        bound = tuple(v % gl.P for v in proof.deferred_root)
+        if any(bound):
+            if deferred is None:
+                raise VerificationError(
+                    "proof binds a deferred root; supply the deferred-"
+                    "session proof or verify with partial=True"
+                )
+            from ..precompile import verify_deferred
+
+            verify_deferred(deferred, bound, params=params)
+        elif deferred is not None:
+            raise VerificationError(
+                "deferred proof supplied but the execution logged no claims"
+            )
     statement = _statement(
         proof.program_hash,
         proof.stack_inputs,

@@ -130,8 +130,13 @@ def test_main_proof_binds_session_root_e2e():
     src = "begin " + " ".join(pushes) + " end"
     prog = assemble(src)
     out, proof = prove_program(prog, params=TEST_PARAMS)
-    verify_program(proof, params=TEST_PARAMS)
+    # without the session proof the verifier must refuse (unless partial)
+    from miden_tpu.stark.verifier import VerificationError
+
+    with pytest.raises(VerificationError):
+        verify_program(proof, params=TEST_PARAMS)
+    verify_program(proof, params=TEST_PARAMS, partial=True)
 
     session = prove_deferred_state(CLAIMS, params=TEST_PARAMS)
     assert tuple(session.root) == tuple(proof.deferred_root)
-    verify_deferred(session, proof.deferred_root, params=TEST_PARAMS)
+    verify_program(proof, params=TEST_PARAMS, deferred=session)

@@ -346,10 +346,14 @@ def test_prove_log_deferred():
     forest.make_root(r)
     out, proof = prove_program(Program(forest, r))
     assert proof.deferred_root == root
-    verify_program(proof)
-    # tampering with the claimed deferred root must fail
+    # non-zero deferred root: full verification requires the session
+    # proof; partial verification checks only the main STARK
+    with pytest.raises(VerificationError):
+        verify_program(proof)
+    verify_program(proof, partial=True)
+    # tampering with the claimed deferred root must fail the main STARK
     import dataclasses
 
     bad = dataclasses.replace(proof, deferred_root=(9, 9, 9, 9))
     with pytest.raises(VerificationError):
-        verify_program(bad)
+        verify_program(bad, partial=True)
