@@ -62,6 +62,12 @@ def cmd_compile(args) -> int:
     program = _assemble(args)
     digest = program.forest[program.entrypoint].digest
     print("program hash:", " ".join(f"{v:016x}" for v in digest))
+    if getattr(args, "output", None):
+        from .vm.mast_io import program_to_bytes
+
+        blob = program_to_bytes(program)
+        Path(args.output).write_bytes(blob)
+        print(f"wrote {len(blob)} bytes to {args.output}")
     return 0
 
 
@@ -124,6 +130,10 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("compile", help="assemble and print the program hash")
     common(p)
+    p.add_argument(
+        "-o", "--output", default=None,
+        help="write the compiled MAST program (budgeted wire form)",
+    )
     p.set_defaults(fn=cmd_compile)
 
     p = sub.add_parser("run", help="execute without proving")

@@ -7,6 +7,8 @@ Device-batched row hashers for the proving path plus exact host twins:
 - ``blake3`` / ``blake3_host`` — byte hasher for the blake3 LMCS configs
 - ``keccak`` / ``keccak_host`` — Keccak-256 (config + precompile witness)
 - ``sha2`` — SHA-256 (host)
+- ``stateful`` — incremental StatefulHasher/StatefulSponge/ChainingHasher
+  API (crates/stateful-hasher)
 """
 
 from . import (  # noqa: F401
@@ -18,4 +20,5 @@ from . import (  # noqa: F401
     poseidon2,
     poseidon2_host,
     sha2,
+    stateful,
 )

@@ -6,6 +6,7 @@ execution logged via LOGDEFERRED, and ``verify_deferred`` checks that
 proof against the deferred root bound into the main proof's public claim.
 """
 
+from .keccak import Keccak256Claim
 from .session import (
     DEFERRED_EMPTY_ROOT,
     U256AddClaim,
@@ -17,6 +18,7 @@ from .session import (
 
 __all__ = [
     "DEFERRED_EMPTY_ROOT",
+    "Keccak256Claim",
     "U256AddClaim",
     "claim_statement_digest",
     "deferred_root_for",

@@ -1,9 +1,10 @@
-"""Deferred-precompile session: the second STARK (stage 1: u256 add).
+"""Deferred-precompile session: the second STARK (u256 add + keccak256).
 
 Mirrors the reference's precompile VM architecture (a 13-chiplet AIR
 stack proved with the same lifted-stark engine,
-precompiles-prover/src/session/mod.rs:1-35) at stage-1 scope: three
-session AIRs + the reused Poseidon2 permutation AIR, cross-linked by
+precompiles-prover/src/session/mod.rs:1-35) at stage-2 scope: the chain
+/ u256 / range session AIRs + the keccak bit-column round AIR
+(keccak.py) + the reused Poseidon2 permutation AIR, cross-linked by
 LogUp buses, proving that
 
 1. the **deferred root** the main VM proof binds (the LOGDEFERRED
@@ -29,9 +30,11 @@ AIR stack and buses:
 
 All aux accumulators sum to zero (MultiAir.eval_external), exactly the
 main VM's LogUp-balance structure. Statement publics:
-[root(4), n_claims]. Permutation cycle ids: chain claim r owns
-3r (d1), 3r+1 (stmt), 3r+2 (fold); u256 row r owns 3n+3r (ha),
-3n+3r+1 (hb), 3n+3r+2 (ho).
+[root(4), n_claims, n_u256]. Permutation cycle ids: chain claim r
+(any kind, in root order) owns 3r (d1), 3r+1 (stmt), 3r+2 (fold);
+u256 chiplet row j owns 3n+3j (ha), +1 (hb), +2 (ho); keccak cycle j
+owns 3n+3·n_u256+3j.. — claim↔chiplet matching is order-free via the
+unordered claim bus, so claims may arrive in any (execution) order.
 """
 
 from __future__ import annotations
@@ -178,7 +181,7 @@ class ChainAir(Air):
     aux_width = 1 + 4
     num_randomness = 2
     num_aux_values = 1
-    num_public_values = 5
+    num_public_values = 6
 
     def eval(self, f) -> None:
         fam = {"zero": [], "trans": [], "first": [], "last": []}
@@ -309,7 +312,7 @@ class U256Air(Air):
     aux_width = 1 + 16
     num_randomness = 2
     num_aux_values = 1
-    num_public_values = 5
+    num_public_values = 6
 
     def eval(self, f) -> None:
         fam = {"zero": [], "trans": [], "first": [], "last": []}
@@ -331,7 +334,8 @@ class U256Air(Air):
         A("zero", act * (act - 1), "act/bool")
         A("trans", (1 - act) * actn, "act/monotone")
         A("last", act, "act/last_padding")
-        A("first", act - 1, "act/first")
+        # no act/first: all-keccak sessions leave this chiplet fully
+        # padded (the claim bus still forces a removal per u256 claim)
         A("zero", act * (cid - U256_ADD_ID), "id/u256_add")
         # permutation cycle schedule: first id = 3·n_claims, step 3
         A("first", perm - n_claims * 3, "perm/first")
@@ -413,7 +417,7 @@ class RangeTableAir(Air):
     aux_width = 2
     num_randomness = 2
     num_aux_values = 1
-    num_public_values = 5
+    num_public_values = 6
 
     def eval(self, f) -> None:
         v = f.main(R_V)
@@ -452,7 +456,7 @@ class RangeTableAir(Air):
 
 
 class SessionPermAir(Poseidon2PermutationAir):
-    num_public_values = 5
+    num_public_values = 6
 
 
 # ---------------------------------------------------------------------------
@@ -465,13 +469,22 @@ def _pow2(n: int) -> int:
 
 
 def build_session_traces(claims):
-    """(chain, u256, range, perm) trace matrices + the final root."""
+    """(chain, u256, range, perm, keccak-or-None) trace matrices + the
+    final root. Claims may mix U256AddClaim and Keccak256Claim in any
+    (execution) order."""
+    from .keccak import Keccak256Claim, build_keccak_trace
+
     n = len(claims)
     assert n >= 1, "session requires at least one claim"
-    rows = _pow2(n + 1)  # ≥ one padding row (act monotone drop in-window)
+    u256_claims = [c for c in claims if not isinstance(c, Keccak256Claim)]
+    keccak_claims = [c for c in claims if isinstance(c, Keccak256Claim)]
+    nu = len(u256_claims)
 
+    rows = _pow2(n + 1)  # ≥ one padding row (act monotone drop in-window)
+    urows = _pow2(nu + 1)
     chain = np.zeros((rows, CHAIN_WIDTH), dtype=np.uint64)
-    u256 = np.zeros((rows, U256_WIDTH), dtype=np.uint64)
+    u256 = np.zeros((urows, U256_WIDTH), dtype=np.uint64)
+    u256[0, U_PERM] = 3 * n  # perm/first anchor even with zero u256 claims
     perm_cycles: list = [None] * (6 * n)
 
     root = DEFERRED_EMPTY_ROOT
@@ -496,10 +509,14 @@ def build_session_traces(claims):
         perm_cycles[3 * r + 2] = ([*root, *s_st[0:4], 1, 0, 0, 0], 1)
         root = tuple(s_fd[0:4])
 
-        urow = u256[r]
+    for j, cl in enumerate(u256_claims):
+        sa = _operand_digest_state(cl.a)
+        sb = _operand_digest_state(cl.b)
+        so = _operand_digest_state(cl.out)
+        urow = u256[j]
         urow[U_ACT] = 1
         urow[U_ID] = cl.id
-        urow[U_PERM] = 3 * n + 3 * r
+        urow[U_PERM] = 3 * n + 3 * j
         la, lb, lo = _limbs16(cl.a), _limbs16(cl.b), _limbs16(cl.out)
         urow[U_A], urow[U_B], urow[U_O] = la, lb, lo
         carry = 0
@@ -508,21 +525,27 @@ def build_session_traces(claims):
             carry = s >> 16
             urow[U_C[i]] = carry
         urow[U_HA], urow[U_HB], urow[U_HO] = sa, sb, so
-        perm_cycles[3 * n + 3 * r] = ([*_limbs32(cl.a), 0, 0, 0, 0], 1)
-        perm_cycles[3 * n + 3 * r + 1] = ([*_limbs32(cl.b), 0, 0, 0, 0], 1)
-        perm_cycles[3 * n + 3 * r + 2] = ([*_limbs32(cl.out), 0, 0, 0, 0], 1)
+        perm_cycles[3 * n + 3 * j] = ([*_limbs32(cl.a), 0, 0, 0, 0], 1)
+        perm_cycles[3 * n + 3 * j + 1] = ([*_limbs32(cl.b), 0, 0, 0, 0], 1)
+        perm_cycles[3 * n + 3 * j + 2] = ([*_limbs32(cl.out), 0, 0, 0, 0], 1)
+
+    keccak = None
+    if keccak_claims:
+        kperm: list = []
+        keccak = build_keccak_trace(keccak_claims, n, nu, perm_states=kperm)
+        perm_cycles[3 * n + 3 * nu :] = kperm
 
     rng = np.zeros((RANGE_ROWS, RANGE_WIDTH), dtype=np.uint64)
     rng[:RANGE_VALUES, R_V] = np.arange(RANGE_VALUES, dtype=np.uint64)
     rng[:RANGE_VALUES, R_ACT] = 1
     counts = np.zeros(RANGE_VALUES, dtype=np.int64)
-    for cl in claims:
+    for cl in u256_claims:
         for v in (*_limbs16(cl.a), *_limbs16(cl.b), *_limbs16(cl.out)):
             counts[v] += 1
     rng[:RANGE_VALUES, R_M] = counts.astype(np.uint64)
 
     perm = VC.build_poseidon_trace(perm_cycles)
-    return chain, u256, rng, perm, root
+    return chain, u256, rng, perm, root, keccak
 
 
 class SessionMultiAir(MultiAir):
@@ -534,14 +557,14 @@ class SessionMultiAir(MultiAir):
         return [total]
 
 
-def _session_statement(root, n_claims: int) -> Statement:
-    publics = [*[v % P for v in root], n_claims]
-    return Statement(
-        SessionMultiAir(
-            [ChainAir(), U256Air(), RangeTableAir(), SessionPermAir()]
-        ),
-        publics,
-    )
+def _session_statement(root, n_claims: int, n_u256: int) -> Statement:
+    from .keccak import KeccakAir
+
+    publics = [*[v % P for v in root], n_claims, n_u256]
+    airs = [ChainAir(), U256Air(), RangeTableAir(), SessionPermAir()]
+    if n_u256 < n_claims:  # keccak claims present
+        airs.append(KeccakAir())
+    return Statement(SessionMultiAir(airs), publics)
 
 
 # ---------------------------------------------------------------------------
@@ -556,6 +579,11 @@ class DeferredProof:
     root: tuple
     n_claims: int
     stark: object  # stark.prover.Proof
+    n_u256: int = -1  # -1 = legacy all-u256 session
+
+    def __post_init__(self):
+        if self.n_u256 < 0:
+            self.n_u256 = self.n_claims
 
 
 def prove_deferred_state(claims, params: PcsParams = MIDEN_PARAMS) -> DeferredProof:
@@ -564,15 +592,17 @@ def prove_deferred_state(claims, params: PcsParams = MIDEN_PARAMS) -> DeferredPr
     precompiles-prover/src/lib.rs:35)."""
     from ..stark.prover import prove
 
-    chain, u256, rng, perm, root = build_session_traces(claims)
-    statement = _session_statement(root, len(claims))
-    res = prove(
-        params,
-        statement,
-        [chain, u256, rng, perm],
-        DuplexChallenger(SESSION_SEED),
-    )
-    return DeferredProof(root=root, n_claims=len(claims), stark=res.proof)
+    from .keccak import Keccak256Claim
+
+    chain, u256, rng, perm, root, keccak = build_session_traces(claims)
+    n = len(claims)
+    nu = sum(1 for c in claims if not isinstance(c, Keccak256Claim))
+    statement = _session_statement(root, n, nu)
+    traces = [chain, u256, rng, perm]
+    if keccak is not None:
+        traces.append(keccak)
+    res = prove(params, statement, traces, DuplexChallenger(SESSION_SEED))
+    return DeferredProof(root=root, n_claims=n, stark=res.proof, n_u256=nu)
 
 
 def verify_deferred(
@@ -586,7 +616,9 @@ def verify_deferred(
         int(v) % P for v in expected_root
     ):
         raise VerificationError("deferred root mismatch")
-    statement = _session_statement(proof.root, proof.n_claims)
+    if not 0 <= proof.n_u256 <= proof.n_claims:
+        raise VerificationError("invalid session claim counts")
+    statement = _session_statement(proof.root, proof.n_claims, proof.n_u256)
     from ..transcript.challenger import TranscriptError
 
     try:

@@ -74,9 +74,35 @@ def handle_u64_div(processor) -> None:
     processor.advice.stack[0:0] = [q >> 32, q & U32_MAX, r >> 32, r & U32_MAX]
 
 
+def handle_keccak_merge(processor) -> None:
+    """``miden::core::crypto::hashes::keccak256::merge``: read the two
+    256-bit operands (8 LE u32 limbs each, limb 0 nearest the top, below
+    the event id) and push the keccak256 digest limbs onto the advice
+    stack (d7 first, so ``adv_push.8`` leaves [d0, ..., d7]). Reference
+    analog: the keccak precompile host handler behind
+    crates/lib/core/asm/crypto/hashes/keccak256.masm."""
+    from ..hash.keccak_host import keccak256
+
+    s = processor.stack
+    limbs_l = [int(s[1 + i]) for i in range(8)]
+    limbs_r = [int(s[9 + i]) for i in range(8)]
+    for v in (*limbs_l, *limbs_r):
+        if v > U32_MAX:
+            raise ExecutionError("keccak256::merge: operand limb not u32")
+    a = sum(v << (32 * i) for i, v in enumerate(limbs_l))
+    b = sum(v << (32 * i) for i, v in enumerate(limbs_r))
+    msg = a.to_bytes(32, "little") + b.to_bytes(32, "little")
+    out = int.from_bytes(keccak256(msg), "little")
+    dlimbs = [(out >> (32 * i)) & U32_MAX for i in range(8)]
+    processor.advice.stack[0:0] = list(reversed(dlimbs))
+
+
 def stdlib_event_handlers() -> dict[int, object]:
     """Event-id -> handler map to pass as ``event_handlers=`` to execute /
     prove_program."""
     return {
         event_id("miden::core::math::u64::u64_div"): handle_u64_div,
+        event_id(
+            "miden::core::crypto::hashes::keccak256::merge"
+        ): handle_keccak_merge,
     }

@@ -104,6 +104,7 @@ class ExecutionOutput:
     advice: AdviceProvider
     memory: dict
     clk: int
+    deferred_root: tuple = (0, 0, 0, 0)  # final LOGDEFERRED fold
 
 
 class HasherAllocator:
@@ -276,6 +277,7 @@ class Processor:
             advice=self.advice,
             memory=self.memory,
             clk=self.clk,
+            deferred_root=tuple(self.deferred_root),
         )
 
     def _tick(self, n: int = 1) -> None:

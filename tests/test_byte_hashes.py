@@ -133,3 +133,57 @@ def test_keccak_device_merge_matches_host():
         assert got[i] == keccak_host.merge(
             d1[i].astype("<u4").tobytes(), d2[i].astype("<u4").tobytes()
         )
+
+
+# ---------------------------------------------------------------------------
+# Stateful hashers (crates/stateful-hasher semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_stateful_sponge_matches_host_absorb():
+    from miden_tpu.hash import poseidon2_host as hp
+    from miden_tpu.hash.stateful import StatefulSponge
+
+    sponge = StatefulSponge()
+    rows = [[1, 2, 3], list(range(10, 22)), [7]]
+    got = sponge.hash_rows(rows)
+    # per-row overwrite-mode absorption, exactly hp.absorb semantics
+    state = [0] * 12
+    for row in rows:
+        hp.absorb(state, row)
+    assert got == tuple(state[:4])
+    # incremental == one-shot
+    st = sponge.new_state()
+    for row in rows:
+        sponge.absorb_into(st, row)
+    assert sponge.squeeze(st) == got
+
+
+def test_serializing_and_chaining_and_truncating():
+    import hashlib
+
+    from miden_tpu.hash.stateful import (
+        ChainingHasher,
+        SerializingStatefulSponge,
+        StatefulSponge,
+        TruncatingHasher,
+    )
+
+    ser = SerializingStatefulSponge(hashlib.sha256)
+    st = ser.new_state()
+    ser.absorb_into(st, [1, 2])
+    want = hashlib.sha256(
+        (1).to_bytes(8, "little") + (2).to_bytes(8, "little")
+    ).digest()
+    assert ser.squeeze(st) == want
+
+    chain = ChainingHasher(lambda b: hashlib.sha256(b).digest())
+    st = chain.new_state()
+    chain.absorb_into(st, [3])
+    chain.absorb_into(st, [4])
+    h1 = hashlib.sha256((3).to_bytes(8, "little")).digest()
+    h2 = hashlib.sha256(h1 + (4).to_bytes(8, "little")).digest()
+    assert chain.squeeze(st) == h2
+
+    trunc = TruncatingHasher(StatefulSponge(), 3)
+    assert trunc.hash_rows([[5, 6]]) == StatefulSponge().hash_rows([[5, 6]])[:3]

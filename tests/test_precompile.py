@@ -35,12 +35,12 @@ CLAIMS = [
 ]
 
 
-def _publics(root, n):
-    return [*[int(v) % gl.P for v in root], n]
+def _publics(root, n, nu=None):
+    return [*[int(v) % gl.P for v in root], n, n if nu is None else nu]
 
 
 def test_session_airs_satisfy_constraints_and_balance():
-    chain, u256, rng, perm, root = build_session_traces(CLAIMS)
+    chain, u256, rng, perm, root, _ = build_session_traces(CLAIMS)
     publics = _publics(root, len(CLAIMS))
     finals = []
     for air, main in (
@@ -61,7 +61,7 @@ def test_session_airs_satisfy_constraints_and_balance():
 
 
 def test_chain_rejects_wrong_root_or_data():
-    chain, u256, rng, perm, root = build_session_traces(CLAIMS)
+    chain, u256, rng, perm, root, _ = build_session_traces(CLAIMS)
     # wrong public root → root-binding constraint fires
     bad_publics = _publics((root[0] ^ 1, *root[1:]), len(CLAIMS))
     air = ChainAir()

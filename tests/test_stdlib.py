@@ -592,3 +592,79 @@ def test_u256_comparisons_bitwise(b, a):
     assert got[0:8] == limbs256(a ^ M256)
     got = run_u256("eqz", a, 0, unary=True)
     assert got[0] == int(a == 0)
+
+
+# ---------------------------------------------------------------------------
+# crypto::hashes::keccak256 (precompile-backed)
+# ---------------------------------------------------------------------------
+
+
+def limbs256(v):  # noqa: F811 - shared helper shape with u256 tests
+    return [(v >> (32 * i)) & M32 for i in range(8)]
+
+
+def test_keccak256_merge_digest_and_deferred_root():
+    """merge returns Keccak256(L || R) as LE u32 limbs and folds the
+    matching precompile claim into the deferred root."""
+    from miden_tpu.hash.keccak_host import keccak256
+    from miden_tpu.precompile import Keccak256Claim, deferred_root_for
+
+    a = 0x1122_DEAD_BEEF_0055_AA77 | (1 << 250)
+    b = (1 << 255) | 0xF00D
+    src = (
+        "use miden::core::crypto::hashes::keccak256\n"
+        "begin exec.keccak256::merge end"
+    )
+    # stack inputs are top-first: l limb 0 on top, r limbs below
+    inputs = limbs256(a) + limbs256(b)
+    out = execute(
+        assemble_with_stdlib(src),
+        inputs,
+        event_handlers=stdlib_event_handlers(),
+    )
+    msg = a.to_bytes(32, "little") + b.to_bytes(32, "little")
+    want = int.from_bytes(keccak256(msg), "little")
+    assert list(out.stack[0:8]) == limbs256(want)
+    assert tuple(out.deferred_root) == deferred_root_for(
+        [Keccak256Claim(a=a, b=b)]
+    )
+
+
+def test_poseidon2_stdlib_module():
+    """hash/merge/merge_in_domain/permute match the host Poseidon2."""
+    from miden_tpu.hash import poseidon2_host as hp
+
+    def run(proc, inputs):
+        src = (
+            "use miden::core::crypto::hashes::poseidon2\n"
+            f"begin exec.poseidon2::{proc} end"
+        )
+        return execute(
+            assemble_with_stdlib(src),
+            inputs,
+            event_handlers=stdlib_event_handlers(),
+        ).stack
+
+    a = [5, 6, 7, 8]  # word A, element at position 0 on top
+    b = [9, 10, 11, 12]
+
+    got = run("hash", list(a))
+    want = hp.hash_elements_padded(a)
+    assert list(got[0:4]) == list(want), (got[0:4], want)
+
+    got = run("merge", list(a) + list(b))
+    assert list(got[0:4]) == list(hp.merge(a, b))
+
+    dom = 7
+    got = run("merge_in_domain", [dom, *a, *b])
+    assert list(got[0:4]) == list(hp.merge_in_domain(a, b, dom))
+
+    state = list(range(1, 13))
+    got = run("permute", list(state))
+    assert list(got[0:12]) == list(hp.permute(state))
+
+    got = run("init_no_padding", [42])
+    assert list(got[0:13]) == [0] * 12 + [42]
+
+    got = run("squeeze_digest", list(range(1, 13)))
+    assert list(got[0:4]) == [1, 2, 3, 4]
