@@ -12,10 +12,21 @@ hash takes 6.9 s on a 64-thread AMD EPYC 9R45 (BASELINE.md; README.md:154).
 (baseline scaled linearly in rows from 2^20), so > 1.0 means faster than the
 64-core Rust prover.
 
+The driver runs this under a time box, so the bench is timeout-robust: it
+sweeps sizes smallest-first (2^14 -> 2^16 -> 2^18 -> 2^20), printing and
+flushing one JSON line per size AS SOON AS it completes. A timeout
+truncates the record to the sizes that finished instead of voiding it; the
+last flushed line is always the largest completed size.
+
 Env:
-  BENCH_LOG_N   core trace log2 height (default 20)
-  BENCH_VERIFY  "1" to also verify the proof (off by default; verification
-                is host-side and not the benched quantity)
+  BENCH_LOG_N     force a single core-trace log2 height (skips the sweep)
+  BENCH_SIZES     comma-separated log2 heights for the sweep (default
+                  "14,16,18,20")
+  BENCH_BUDGET_S  wall-clock budget in seconds (default 1500); a size is
+                  skipped if the remaining budget is clearly insufficient
+  BENCH_REPS      steady-state repetitions per size (default 3)
+  BENCH_VERIFY    "1" to also verify the proof (off by default; verification
+                  is host-side and not the benched quantity)
 """
 
 import json
@@ -68,28 +79,21 @@ def bench_vm() -> None:
     )
 
 
-def main() -> None:
-    if os.environ.get("BENCH_VM") == "1":
-        bench_vm()
-        return
-    log_n = int(os.environ.get("BENCH_LOG_N", "20"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
-
+def _bench_one_size(log_n: int, reps: int) -> None:
+    """Prove the Miden-shaped statement at 2^log_n and print ONE flushed
+    JSON line. Compilation is persistently cached, so ``first_run_s`` is
+    dominated by cache load / re-trace on a warm host."""
     from miden_tpu.bench_airs import miden_shaped_statement
     from miden_tpu.stark import MIDEN_PARAMS, prove
     from miden_tpu.transcript.challenger import DuplexChallenger
 
     seed = [0x6D69, 0x6465, 0x6E2D, 0x7470]  # domain separator
-
     statement, traces = miden_shaped_statement(log_n)
 
-    # First run includes one-time per-shape compilation (persistently
-    # cached in .jax_cache — warm after the first process on a host).
     t_start = time.time()
     out = prove(MIDEN_PARAMS, statement, traces, DuplexChallenger(seed))
     first_s = time.time() - t_start
 
-    # Steady state: median of BENCH_REPS runs.
     times = []
     for _ in range(reps):
         t_start = time.time()
@@ -116,8 +120,45 @@ def main() -> None:
                 "runs_s": [round(t, 3) for t in times],
                 "proof_bytes": out.proof.size_in_bytes(),
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main() -> None:
+    if os.environ.get("BENCH_VM") == "1":
+        bench_vm()
+        return
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+    forced = os.environ.get("BENCH_LOG_N")
+    if forced is not None:
+        _bench_one_size(int(forced), reps)
+        return
+
+    sizes = [int(s) for s in os.environ.get("BENCH_SIZES", "14,16,18,20").split(",")]
+    t0 = time.time()
+    prev_total = 0.0
+    for log_n in sizes:
+        elapsed = time.time() - t0
+        remaining = budget_s - elapsed
+        # Each size is ~4x the previous in rows; first-run cost is compile-
+        # cache-bound, steady cost ~4x. Skip (and everything after — sizes
+        # ascend) if the remaining budget is clearly short.
+        if prev_total > 0 and remaining < 5.0 * prev_total:
+            # stderr, NOT stdout: the driver parses the last stdout JSON
+            # line, which must stay the largest completed size.
+            print(
+                f"bench: budget exhausted before 2^{log_n} "
+                f"({remaining:.0f}s remaining < 5x prev size {prev_total:.0f}s)",
+                file=sys.stderr,
+                flush=True,
+            )
+            break
+        t_size = time.time()
+        _bench_one_size(log_n, reps)
+        prev_total = time.time() - t_size
 
 
 if __name__ == "__main__":

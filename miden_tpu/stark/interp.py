@@ -166,11 +166,15 @@ def _collect_constants(air: Air, n_pub: int, n_rand: int, n_auxv: int) -> list[i
 class ConstraintProgram:
     """A recorded, register-allocated constraint program for one Air.
 
-    Input register layout (order matched by ``evaluate_folded_constraints``):
-      main cur (w) | main next (w) | pp cur (pw) | pp next (pw) |
-      aux cur (2aw) | aux next (2aw) |
-      selectors (3) | publics | randomness (2 each) | aux_values (2 each) |
-      periodic (p) | alpha (2) | constants
+    Input register layout (order matched by ``evaluate_folded_constraints``),
+    split into a row-varying VECTOR block and a row-constant SCALAR block so
+    the executor never broadcasts scalars (publics / randomness / constants)
+    to full-domain rows:
+      vector [0, n_vec):  main cur (w) | main next (w) | pp cur (pw) |
+                          pp next (pw) | aux cur (2aw) | aux next (2aw) |
+                          selectors (3) | periodic (p)
+      scalar [n_vec, n_fixed): publics | randomness (2 each) |
+                          aux_values (2 each) | alpha (2) | constants
     """
 
     def __init__(self, air: Air, n_pub: int, n_rand: int, n_auxv: int):
@@ -178,9 +182,8 @@ class ConstraintProgram:
         w, aw, p = air.width, air.aux_width, len(air.periodic_columns)
         pw = air.preprocessed_width
         self.n_pub, self.n_rand, self.n_auxv = n_pub, n_rand, n_auxv
-        n_inputs = (
-            2 * w + 2 * pw + 4 * aw + 3 + n_pub + 2 * n_rand + 2 * n_auxv + p + 2
-        )
+        self.n_vec = 2 * w + 2 * pw + 4 * aw + 3 + p
+        n_inputs = self.n_vec + n_pub + 2 * n_rand + 2 * n_auxv + 2
 
         be = RecordBackend(n_inputs)
         for c in [0, 1, 7] + _collect_constants(air, n_pub, n_rand, n_auxv):
@@ -195,10 +198,10 @@ class ConstraintProgram:
         aux_cur = [(nxt(), nxt()) for _ in range(aw)]
         aux_next = [(nxt(), nxt()) for _ in range(aw)]
         sels = tuple(nxt() for _ in range(3))
+        periodic = [nxt() for _ in range(p)]
         pubs = [nxt() for _ in range(n_pub)]
         rands = [(nxt(), nxt()) for _ in range(n_rand)]
         auxvs = [(nxt(), nxt()) for _ in range(n_auxv)]
-        periodic = [nxt() for _ in range(p)]
         alpha = (nxt(), nxt())
 
         f = Folder(
@@ -267,23 +270,33 @@ class ConstraintProgram:
         )
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _run_program(prog: ConstraintProgram, inputs: Fp) -> Fp2:
-    """Execute the program; ``inputs`` is (n_fixed, nd). Returns the folded
-    accumulator as an (nd,) ext value."""
-    nd = inputs.shape[1]
-    n_fixed = prog.n_fixed
-    frame_lo = jnp.zeros((prog.frame_size, nd), dtype=jnp.uint32)
-    frame_hi = jnp.zeros((prog.frame_size, nd), dtype=jnp.uint32)
+def _run_chunk(prog: ConstraintProgram, vec: Fp, scal: Fp) -> Fp2:
+    """Execute the program on one row-chunk. ``vec`` is (n_vec, blk) row-
+    varying inputs, ``scal`` (n_scal,) row-constant inputs. Returns the
+    folded accumulator as a (blk,) ext value."""
+    blk = vec.shape[1]
+    n_vec, n_fixed = prog.n_vec, prog.n_fixed
+    frame_lo = jnp.zeros((prog.frame_size, blk), dtype=jnp.uint32)
+    frame_hi = jnp.zeros((prog.frame_size, blk), dtype=jnp.uint32)
     code = jnp.asarray(prog.code)
 
     def read(lo, hi, idx):
-        fixed = idx < n_fixed
-        a = jnp.where(fixed, idx, 0)
-        s = jnp.where(fixed, 0, idx - n_fixed)
+        in_vec = idx < n_vec
+        in_scal = jnp.logical_and(idx >= n_vec, idx < n_fixed)
+        vi = jnp.where(in_vec, idx, 0)
+        si = jnp.where(in_scal, idx - n_vec, 0)
+        fi = jnp.where(idx >= n_fixed, idx - n_fixed, 0)
         return Fp(
-            jnp.where(fixed, inputs.lo[a], lo[s]),
-            jnp.where(fixed, inputs.hi[a], hi[s]),
+            jnp.where(
+                in_vec,
+                vec.lo[vi],
+                jnp.where(in_scal, scal.lo[si], lo[fi]),
+            ),
+            jnp.where(
+                in_vec,
+                vec.hi[vi],
+                jnp.where(in_scal, scal.hi[si], hi[fi]),
+            ),
         )
 
     def step(carry, instr):
@@ -305,11 +318,33 @@ def _run_program(prog: ConstraintProgram, inputs: Fp) -> Fp2:
     (lo, hi), _ = jax.lax.scan(step, (frame_lo, frame_hi), code)
 
     def out(reg):
+        if reg < n_vec:
+            return Fp(vec.lo[reg], vec.hi[reg])
         if reg < n_fixed:
-            return Fp(inputs.lo[reg], inputs.hi[reg])
+            return Fp(
+                jnp.broadcast_to(scal.lo[reg - n_vec], (blk,)),
+                jnp.broadcast_to(scal.hi[reg - n_vec], (blk,)),
+            )
         return Fp(lo[reg - n_fixed], hi[reg - n_fixed])
 
     return Fp2(out(prog.out_slots[0]), out(prog.out_slots[1]))
+
+
+#: element budget for (frame + vector-input) chunk footprint: 2^28 elements
+#: x 8 B/elem (lo+hi) = 2 GB live per chunk, leaving room for the retained
+#: LDEs on a 16 GB chip
+_CHUNK_ELEM_BUDGET = 1 << 28
+
+
+def _chunk_rows(prog: ConstraintProgram, nd: int) -> int:
+    """Largest power-of-two block height whose executor footprint fits the
+    budget (the CoreVmAir frame is ~600 slots: unchunked at nd=2^21 it is a
+    ~10 GB frame — the round-3 BENCH_VM RESOURCE_EXHAUSTED)."""
+    per_row = prog.frame_size + prog.n_vec
+    blk = 1 << 14
+    while blk < nd and per_row * (blk << 1) <= _CHUNK_ELEM_BUDGET:
+        blk <<= 1
+    return min(blk, nd)
 
 
 _PROGRAM_CACHE: dict = {}
@@ -326,65 +361,94 @@ def get_program(air: Air, n_pub: int, n_rand: int, n_auxv: int) -> ConstraintPro
 
 def evaluate_folded_constraints(
     air: Air,
-    main_cur: Fp,  # (nd, w)
-    main_next: Fp,  # (nd, w)
-    aux_cur: Fp | None,  # (nd, 2aw), c0/c1 interleaved per column
-    aux_next: Fp | None,
+    main: Fp,  # (nd, w)
+    aux: Fp | None,  # (nd, 2aw), c0/c1 interleaved per column
     selectors: tuple,  # 3 × Fp (nd,)
     publics: Fp,  # (n_pub,)
     randomness: Fp2,  # (n_rand,)
     aux_values: Fp2,  # (n_auxv,)
     periodic: list,  # p × Fp (nd,)
     alpha: Fp2,  # scalar-shaped
-    pp_cur: Fp | None = None,  # (nd, pw)
-    pp_next: Fp | None = None,
+    pp: Fp | None = None,  # (nd, pw)
+    next_offset: int = 1,
 ) -> Fp2:
     """α-folded constraint accumulator via the recorded program; matches
-    the fused evaluator value-for-value."""
-    nd = main_cur.shape[0]
+    the fused evaluator value-for-value.
+
+    "Next-row" values are gathered per chunk at ``(r + next_offset) % nd``
+    instead of materializing rolled full-domain copies, and the program runs
+    over row chunks (``lax.map``) so peak memory is independent of nd."""
+    nd = main.shape[0]
     prog = get_program(
         air, int(publics.shape[0]), int(randomness.shape[0]),
         int(aux_values.shape[0]),
     )
 
-    lo_rows, hi_rows = [], []
+    # --- scalar block: (n_scal,) built once, never broadcast -------------
+    scal_lo, scal_hi = [], []
 
-    def push(v: Fp):
-        lo_rows.append(jnp.broadcast_to(v.lo, (nd,)))
-        hi_rows.append(jnp.broadcast_to(v.hi, (nd,)))
+    def push_scal(v: Fp):
+        scal_lo.append(jnp.reshape(v.lo, ()))
+        scal_hi.append(jnp.reshape(v.hi, ()))
 
-    for j in range(air.width):
-        push(main_cur[:, j])
-    for j in range(air.width):
-        push(main_next[:, j])
-    for blk in (pp_cur, pp_next):
-        for j in range(air.preprocessed_width):
-            push(blk[:, j])
-    for blk in (aux_cur, aux_next):
-        for j in range(2 * air.aux_width):
-            push(blk[:, j])
-    for s in selectors:
-        push(s)
     for j in range(int(publics.shape[0])):
-        push(publics[j])
+        push_scal(publics[j])
     for j in range(int(randomness.shape[0])):
-        push(Fp(randomness.c0.lo[j], randomness.c0.hi[j]))
-        push(Fp(randomness.c1.lo[j], randomness.c1.hi[j]))
+        push_scal(Fp(randomness.c0.lo[j], randomness.c0.hi[j]))
+        push_scal(Fp(randomness.c1.lo[j], randomness.c1.hi[j]))
     for j in range(int(aux_values.shape[0])):
-        push(Fp(aux_values.c0.lo[j], aux_values.c0.hi[j]))
-        push(Fp(aux_values.c1.lo[j], aux_values.c1.hi[j]))
-    for pcol in periodic:
-        push(pcol)
-    push(alpha.c0)
-    push(alpha.c1)
+        push_scal(Fp(aux_values.c0.lo[j], aux_values.c0.hi[j]))
+        push_scal(Fp(aux_values.c1.lo[j], aux_values.c1.hi[j]))
+    push_scal(alpha.c0)
+    push_scal(alpha.c1)
     for c in prog.const_values:
-        push(
-            Fp(
-                jnp.uint32(c & 0xFFFFFFFF),
-                jnp.uint32(c >> 32),
-            )
-        )
+        push_scal(Fp(jnp.uint32(c & 0xFFFFFFFF), jnp.uint32(c >> 32)))
+    scal = Fp(jnp.stack(scal_lo), jnp.stack(scal_hi))
+    assert prog.n_vec + scal.shape[0] == prog.n_fixed
 
-    inputs = Fp(jnp.stack(lo_rows), jnp.stack(hi_rows))
-    assert inputs.lo.shape[0] == prog.n_fixed, (inputs.lo.shape, prog.n_fixed)
-    return _run_program(prog, inputs)
+    blk = _chunk_rows(prog, nd)
+    n_blk = nd // blk
+    d = next_offset
+
+    sel_mat = Fp(
+        jnp.stack([s.lo for s in selectors] + [p.lo for p in periodic]),
+        jnp.stack([s.hi for s in selectors] + [p.hi for p in periodic]),
+    )  # (3 + p, nd)
+
+    def chunk(t):
+        start = t * blk
+        nrows = (start + jnp.arange(blk) + d) & (nd - 1)  # nd is a power of two
+        parts_lo, parts_hi = [], []
+
+        def push_cur(m):
+            # contiguous rows: dynamic_slice, transposed to (k, blk)
+            parts_lo.append(jax.lax.dynamic_slice_in_dim(m.lo, start, blk, 0).T)
+            parts_hi.append(jax.lax.dynamic_slice_in_dim(m.hi, start, blk, 0).T)
+
+        def push_next(m):
+            # wrap-around rows: gather at (r + d) mod nd
+            parts_lo.append(jnp.take(m.lo, nrows, axis=0).T)
+            parts_hi.append(jnp.take(m.hi, nrows, axis=0).T)
+
+        for m, present in ((main, True), (pp, air.preprocessed_width),
+                           (aux, air.aux_width)):
+            if present:
+                push_cur(m)
+                push_next(m)
+        parts_lo.append(jax.lax.dynamic_slice_in_dim(sel_mat.lo, start, blk, 1))
+        parts_hi.append(jax.lax.dynamic_slice_in_dim(sel_mat.hi, start, blk, 1))
+        vec = Fp(
+            jnp.concatenate(parts_lo, axis=0),
+            jnp.concatenate(parts_hi, axis=0),
+        )
+        res = _run_chunk(prog, vec, scal)
+        return res.c0.lo, res.c0.hi, res.c1.lo, res.c1.hi
+
+    if n_blk == 1:
+        c0lo, c0hi, c1lo, c1hi = chunk(jnp.uint32(0))
+        return Fp2(Fp(c0lo, c0hi), Fp(c1lo, c1hi))
+    c0lo, c0hi, c1lo, c1hi = jax.lax.map(chunk, jnp.arange(n_blk, dtype=jnp.uint32))
+    return Fp2(
+        Fp(c0lo.reshape(nd), c0hi.reshape(nd)),
+        Fp(c1lo.reshape(nd), c1hi.reshape(nd)),
+    )

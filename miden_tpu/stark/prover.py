@@ -213,25 +213,16 @@ def _evaluate_quotient_interp(
     shift = domain.lde_shift
 
     main_gj = main_lde[::stride]
-    main_next = Fp(
-        jnp.roll(main_gj.lo, -d, axis=0), jnp.roll(main_gj.hi, -d, axis=0)
-    )
     if aux_lde is not None and aux_lde.shape[1]:
         aux_gj = aux_lde[::stride]
-        aux_next = Fp(
-            jnp.roll(aux_gj.lo, -d, axis=0), jnp.roll(aux_gj.hi, -d, axis=0)
-        )
     else:
         zero = jnp.zeros((nd, 0), dtype=jnp.uint32)
-        aux_gj = aux_next = Fp(zero, zero)
+        aux_gj = Fp(zero, zero)
     if pp_lde is not None:
         pp_gj = pp_lde[::stride]
-        pp_next = Fp(
-            jnp.roll(pp_gj.lo, -d, axis=0), jnp.roll(pp_gj.hi, -d, axis=0)
-        )
     else:
         zero = jnp.zeros((nd, 0), dtype=jnp.uint32)
-        pp_gj = pp_next = Fp(zero, zero)
+        pp_gj = Fp(zero, zero)
 
     pts = pcs.coset_points(nd.bit_length() - 1, shift)
     sn = gl.exp_power_of_2(shift, domain.log_trace_height)
@@ -257,9 +248,9 @@ def _evaluate_quotient_interp(
         _periodic_on_domain(p, n, log_d, shift) for p in air.periodic_columns
     ]
     acc = interp.evaluate_folded_constraints(
-        air, main_gj, main_next, aux_gj, aux_next, selectors,
+        air, main_gj, aux_gj, selectors,
         publics, randomness, aux_values, periodic, alpha,
-        pp_cur=pp_gj, pp_next=pp_next,
+        pp=pp_gj if pp_lde is not None else None, next_offset=d,
     )
     # fused divide by Z_H — D distinct values, inverted host-side
     inv_z = [gl.inv(zv) for zv in z_vals]

@@ -20,6 +20,7 @@ from miden_tpu.stark.params import TEST_PARAMS
 from miden_tpu.transcript.challenger import (
     DuplexChallenger,
     ProverChannel,
+    TranscriptData,
     VerifierChannel,
 )
 
@@ -37,10 +38,11 @@ def _roundtrip(hash_name: str):
     )
     root = [int(v) for v in tree.root()]
 
-    ch = ProverChannel(DuplexChallenger(b"multihash-test"))
+    ch = ProverChannel(DuplexChallenger([0x6D75, 0x6C74, 0x6968, 0x6173]))
     indices = [1, 6, 13]
     lmcs.prove_batch(tree, indices, ch)
-    vch = VerifierChannel(DuplexChallenger(b"multihash-test"), ch.data)
+    data = TranscriptData(ch.fields, ch.commitments)
+    vch = VerifierChannel(data, DuplexChallenger([0x6D75, 0x6C74, 0x6968, 0x6173]))
     rows = lmcs.verify_batch(root, [5, 3], 16, indices, vch, hash=cfg)
     for d in indices:
         assert list(rows[d][0]) == list(m_big[d])
@@ -49,9 +51,10 @@ def _roundtrip(hash_name: str):
     # corrupt the root -> rejection
     bad = list(root)
     bad[0] ^= 1
-    ch2 = ProverChannel(DuplexChallenger(b"multihash-test"))
+    ch2 = ProverChannel(DuplexChallenger([0x6D75, 0x6C74, 0x6968, 0x6173]))
     lmcs.prove_batch(tree, indices, ch2)
-    vch2 = VerifierChannel(DuplexChallenger(b"multihash-test"), ch2.data)
+    data2 = TranscriptData(ch2.fields, ch2.commitments)
+    vch2 = VerifierChannel(data2, DuplexChallenger([0x6D75, 0x6C74, 0x6968, 0x6173]))
     with pytest.raises(ValueError):
         lmcs.verify_batch(bad, [5, 3], 16, indices, vch2, hash=cfg)
 
