@@ -258,7 +258,11 @@ STACK_SPEC: dict = {
     "MOVUP6": _movup(6), "MOVDN6": _movdn(6),
     "MOVUP7": _movup(7), "MOVDN7": _movdn(7),
     "SWAPW": dict(no=range(8, 16), spec=_swapw_spec(4)),
-    "EXT2MUL": dict(no=[0, 1, *range(4, 16)], spec=lambda s, t, h, v: [
+    # s0/s1 unchanged via spec (not routing) to match the reference route
+    # table (stack_route_tests.rs:121-125: EXT2MUL no-shifts 4.. only)
+    "EXT2MUL": dict(no=range(4, 16), spec=lambda s, t, h, v: [
+        (t[0] - s[0], "ext2mul/copy0"),
+        (t[1] - s[1], "ext2mul/copy1"),
         (t[2] - (s[2] * s[0] + 7 * s[3] * s[1]), "ext2mul/c0"),
         (t[3] - (s[2] * s[1] + s[3] * s[0]), "ext2mul/c1"),
     ]),

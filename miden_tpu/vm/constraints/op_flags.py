@@ -111,7 +111,12 @@ class OpFlags:
         add3_madd = self.u32_rc * b[3] * b[2]
         h5 = f.main(L.END_IS_LOOP)
         # f_shl = (1-b6)·b5·(1-b4) + add3_madd + split + repeat + end·h5 +
-        #         dyn + dyncall  (degree 5)
+        #         dyn  (degree 5). DYNCALL is intentionally EXCLUDED
+        # (op_flags/mod.rs:599-619): it left-shifts the stack but its depth
+        # reset rides call_entry and its overflow pop uses the h5-stored
+        # pointer (buses.py overflow mux) — including it here double-pops
+        # the overflow table and forces b0' = 15 on DYNCALL rows whenever
+        # the overflow table is non-empty.
         self.shift_left = (
             (1 - b[6]) * b[5] * (1 - b[4])
             + add3_madd
@@ -119,7 +124,6 @@ class OpFlags:
             + flg["REPEAT"]
             + flg["END"] * h5
             + flg["DYN"]
-            + flg["DYNCALL"]
         )
         # control flow flag (degree 4): 10101xx ∪ 111xxxx ∪ 1101xxx ∪ 1011x00
         e0, e1 = self.e0, self.e1

@@ -178,6 +178,38 @@ def test_tampered_join_digest_breaks_block_hash_bus():
     assert any("bus" in x.label or "logup" in x.label for x in v), v
 
 
+def test_dyncall_with_nonempty_overflow_satisfies_air():
+    """DYNCALL while the overflow table holds rows: its depth reset rides
+    call_entry and its overflow pop uses the h5-stored pointer — DYNCALL
+    must NOT sit in the aggregate shift-left flag (op_flags/mod.rs:599-619;
+    a prior version double-popped the overflow bus and forced b0' = 15)."""
+    from miden_tpu.vm.mast import MastForest, Program
+    from miden_tpu.vm.ops import Op
+
+    from tests.test_ref_parity import _dyn_prelude_ops, _dyn_target_proc_hash
+
+    f = MastForest()
+    # store the callee hash (from the stack inputs) to memory, then
+    # overflow the stack by 3 BEFORE pushing the hash address for dyncall
+    pre = f.add_block(
+        _dyn_prelude_ops()[:-1]  # ... MSTOREW, DROPx4 (hash now in memory)
+        + [Op("PUSH", imm=7), Op("PUSH", imm=8), Op("PUSH", imm=9)]
+        + [Op("PUSH", imm=40)]  # hash address for the dyncall
+    )
+    dc = f.add_dyn(is_dyncall=True)
+    inner = f.add_join(pre, dc)
+    # drain the 3 overflowed rows so the boundary b0_last = 16 holds
+    drain = f.add_block([Op("DROP"), Op("DROP"), Op("DROP")])
+    root = f.add_join(inner, drain)
+    f.make_root(root)
+    target = f.add_block([Op("SWAP")])
+    f.make_root(target)
+
+    _, trace = execute_and_trace(Program(f, root), _dyn_target_proc_hash())
+    violations = check_core_trace(trace)
+    assert not violations, violations[:10]
+
+
 def test_tampered_overflow_value_caught():
     import numpy as np
 
