@@ -10,6 +10,7 @@ from .keccak import Keccak256Claim
 from .session import (
     DEFERRED_EMPTY_ROOT,
     U256AddClaim,
+    U256MulClaim,
     claim_statement_digest,
     deferred_root_for,
     prove_deferred_state,
@@ -20,6 +21,7 @@ __all__ = [
     "DEFERRED_EMPTY_ROOT",
     "Keccak256Claim",
     "U256AddClaim",
+    "U256MulClaim",
     "claim_statement_digest",
     "deferred_root_for",
     "prove_deferred_state",

@@ -38,7 +38,7 @@ Per 32-row cycle (one claim):
 
 Claim/statement digests, the deferred-root fold, and the session facade
 live in session.py; this module plugs into the same id-generic claim
-machinery (claim id 2).
+machinery (claim id 4 = deferred.PID_KECCAK_MERGE).
 """
 
 from __future__ import annotations
@@ -52,7 +52,7 @@ from ..hash.keccak_host import ROTATIONS, ROUND_CONSTANTS, _rotl, keccak256
 from ..stark.air import Air
 from ..vm.constraints.buses import BUS_WIRING_IN, BUS_WIRING_OUT, Challenges, mux
 
-KECCAK256_ID = 2
+from ..vm.deferred import PID_KECCAK_MERGE as KECCAK256_ID
 
 _M64 = 0xFFFFFFFFFFFFFFFF
 P = gl.P
@@ -199,7 +199,7 @@ def keccak_bus_columns(f):
             (o_limbs, ho, act * pout),
         )
     ):
-        msg_in = ch.msg(BUS_WIRING_IN, [perm + k, *limbs, 0, 0, 0, 0])
+        msg_in = ch.msg(BUS_WIRING_IN, [perm + k, *limbs, 2, 0, 0, 0])
         msg_out = ch.msg(BUS_WIRING_OUT, [perm + k, *state])
         cols.append(mux(one, [(gate, [(1, msg_in), (1, msg_out)])]))
     from .session import SBUS_CLAIM  # deferred: session imports us lazily
@@ -468,13 +468,13 @@ def build_keccak_trace(claims, n_claims: int, n_u256: int, perm_states=None):
         def limbs32(x):
             return [(x >> (32 * i)) & 0xFFFFFFFF for i in range(8)]
 
-        sa = hp.permute([*limbs32(cl.a), 0, 0, 0, 0])
-        sb = hp.permute([*limbs32(cl.b), 0, 0, 0, 0])
-        so = hp.permute([*limbs32(cl.out), 0, 0, 0, 0])
+        sa = hp.permute([*limbs32(cl.a), 2, 0, 0, 0])
+        sb = hp.permute([*limbs32(cl.b), 2, 0, 0, 0])
+        so = hp.permute([*limbs32(cl.out), 2, 0, 0, 0])
         rows[0, K_HA], rows[0, K_HB] = sa, sb
         rows[:, K_HO] = so  # cycle-stable (claim removal + digest wiring)
         if perm_states is not None:
-            perm_states.append(([*limbs32(cl.a), 0, 0, 0, 0], 1))
-            perm_states.append(([*limbs32(cl.b), 0, 0, 0, 0], 1))
-            perm_states.append(([*limbs32(cl.out), 0, 0, 0, 0], 1))
+            perm_states.append(([*limbs32(cl.a), 2, 0, 0, 0], 1))
+            perm_states.append(([*limbs32(cl.b), 2, 0, 0, 0], 1))
+            perm_states.append(([*limbs32(cl.out), 2, 0, 0, 0], 1))
     return mat

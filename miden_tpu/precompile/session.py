@@ -9,11 +9,16 @@ LogUp buses, proving that
 
 1. the **deferred root** the main VM proof binds (the LOGDEFERRED
    AND-chain, vm/processor.py) is the fold of the claims' statement
-   digests:  root_{k+1} = P([root_k, stmt_k, 1, 0, 0, 0])[0:4];
-2. each **statement digest** binds its claim data:
-   ha/hb/ho = P([limbs8(x), 0⁴]) over the operand's 8 u32 limbs,
-   d1 = P([ha(4), hb(4), 0⁴])[0:4],
-   stmt = P([d1(4), ho(4), id, 0, 0, 0])[0:4];
+   digests:  root_{k+1} = P([root_k, stmt_k, 1, 0, 0, 0])[0:4] — the
+   canonical AND-node digest of the deferred DAG (vm/deferred.py,
+   core/src/deferred/node.rs Tag::AND);
+2. each **statement digest** is the canonical deferred-NODE digest of
+   the claim's pair-list statement node
+   (deferred.binop_statement_node): operand nodes are one-chunk CHUNKS
+   nodes, ha/hb/ho = P([limbs8(x), 2, 0, 0, 0])[0:4], and the
+   statement sponge threads its capacity:
+   s1 = P([ha(4), hb(4), id, 0, 0, 0]),
+   stmt = P([ho(4), 0⁴, s1[8:12]])[0:4];
 3. each claim's **u256 arithmetic holds**: the U256 chiplet re-derives
    (a, b, out) from 16-bit limbs with boolean carries, re-hashes the
    operands (wiring to the same permutation cycles), and removes the
@@ -60,7 +65,8 @@ SBUS_RANGE = 13
 #: Fiat–Shamir domain separator for the deferred-session protocol
 SESSION_SEED = [0x6D69_6465, 0x6E2D_7470, 0x752D_6466, 0x0000_0001]
 
-U256_ADD_ID = 1
+from ..vm.deferred import PID_U256_ADD as U256_ADD_ID
+from ..vm.deferred import PID_U256_MUL as U256_MUL_ID
 
 DEFERRED_EMPTY_ROOT = (0, 0, 0, 0)
 
@@ -92,6 +98,30 @@ class U256AddClaim:
         return U256_ADD_ID
 
 
+@dataclass(frozen=True)
+class U256MulClaim:
+    """Claim: out = (a * b) mod 2^256 (wrapping u256 multiplication).
+
+    Covers the reference's u256 mul relation
+    (precompiles-prover/src/uint/mul/) on the shared U256 chiplet: mul
+    rows carry the 16x16 limb convolution with two-part carries
+    (16-bit lo + 5-bit hi), both range-checked via the 2^16 table."""
+
+    a: int
+    b: int
+
+    def __post_init__(self):
+        assert 0 <= self.a < (1 << 256) and 0 <= self.b < (1 << 256)
+
+    @property
+    def out(self) -> int:
+        return (self.a * self.b) & ((1 << 256) - 1)
+
+    @property
+    def id(self) -> int:
+        return U256_MUL_ID
+
+
 def _limbs16(x: int) -> list[int]:
     return [(x >> (16 * i)) & _MASK16 for i in range(16)]
 
@@ -101,15 +131,19 @@ def _limbs32(x: int) -> list[int]:
 
 
 def _operand_digest_state(x: int) -> list[int]:
-    return hp.permute([*_limbs32(x), 0, 0, 0, 0])
+    """Full permutation output of a u256 operand's CHUNKS-node sponge
+    (deferred.u256_value_node digest = rate[0:4])."""
+    return hp.permute([*_limbs32(x), 2, 0, 0, 0])
 
 
-def claim_statement_digest(claim: U256AddClaim) -> tuple:
+def claim_statement_digest(claim) -> tuple:
+    """Canonical deferred-node digest of the claim's statement node
+    (deferred.binop_statement_node: pair-list [(a, b), (out, TRUE)])."""
     ha = _operand_digest_state(claim.a)[0:4]
     hb = _operand_digest_state(claim.b)[0:4]
     ho = _operand_digest_state(claim.out)[0:4]
-    d1 = hp.permute([*ha, *hb, 0, 0, 0, 0])[0:4]
-    stmt = hp.permute([*d1, *ho, claim.id, 0, 0, 0])[0:4]
+    s1 = hp.permute([*ha, *hb, claim.id, 0, 0, 0])
+    stmt = hp.permute([*ho, 0, 0, 0, 0, *s1[8:12]])[0:4]
     return tuple(stmt)
 
 
@@ -159,9 +193,14 @@ def chain_bus_columns(f):
     stmt = [f.main(c) for c in CH_STMT]
     fold = [f.main(c) for c in CH_FOLD]
 
-    in_d1 = ch.msg(BUS_WIRING_IN, [perm, *ha, *hb, 0, 0, 0, 0])
+    # statement-node sponge, capacity threaded (deferred.Node.digest):
+    # absorb 1: s1 = P([ha, hb, cid, 0, 0, 0]) (tag word in capacity)
+    # absorb 2: stmt = P([ho, 0^4, s1[8:12]])
+    in_d1 = ch.msg(BUS_WIRING_IN, [perm, *ha, *hb, cid, 0, 0, 0])
     out_d1 = ch.msg(BUS_WIRING_OUT, [perm, *d1])
-    in_st = ch.msg(BUS_WIRING_IN, [perm + 1, *d1[0:4], *ho, cid, 0, 0, 0])
+    in_st = ch.msg(
+        BUS_WIRING_IN, [perm + 1, *ho, 0, 0, 0, 0, *[d1[i] for i in (8, 9, 10, 11)]]
+    )
     out_st = ch.msg(BUS_WIRING_OUT, [perm + 1, *stmt])
     in_fd = ch.msg(BUS_WIRING_IN, [perm + 2, *prev, *stmt[0:4], 1, 0, 0, 0])
     out_fd = ch.msg(BUS_WIRING_OUT, [perm + 2, *fold])
@@ -262,11 +301,13 @@ U_PERM = 2
 U_A = list(range(3, 19))
 U_B = list(range(19, 35))
 U_O = list(range(35, 51))
-U_C = list(range(51, 67))
+U_C = list(range(51, 67))  # add: boolean carries; mul: 16-bit carry-lo
 U_HA = list(range(67, 79))
 U_HB = list(range(79, 91))
 U_HO = list(range(91, 103))
-U256_WIDTH = 103
+U_MUL = 103  # op selector: 0 = add (id 3), 1 = mul (id 5)
+U_CH = list(range(104, 120))  # mul carry-hi limbs (< 32, checked x 2048)
+U256_WIDTH = 120
 
 
 def _packed32(limbs):
@@ -291,7 +332,7 @@ def u256_bus_columns(f):
 
     cols = []
     for k, (limbs, state) in enumerate(((a, ha), (b, hb), (o, ho))):
-        msg_in = ch.msg(BUS_WIRING_IN, [perm + k, *_packed32(limbs), 0, 0, 0, 0])
+        msg_in = ch.msg(BUS_WIRING_IN, [perm + k, *_packed32(limbs), 2, 0, 0, 0])
         msg_out = ch.msg(BUS_WIRING_OUT, [perm + k, *state])
         cols.append(mux(one, [(act, [(1, msg_in), (1, msg_out)])]))
     claim = ch.msg(
@@ -302,14 +343,30 @@ def u256_bus_columns(f):
         limbs = (a + b + o)[4 * g : 4 * g + 4]
         fracs = [(1, ch.msg(SBUS_RANGE, [v])) for v in limbs]
         cols.append(mux(one, [(act, fracs)]))
+    # mul-only range checks: carry-lo (16-bit) and carry-hi x 2048
+    # (< 2^16 iff carry-hi < 32), 4 per fraction column, gated act*mul
+    mul = f.main(U_MUL)
+    clo = [f.main(c) for c in U_C]
+    chi = [f.main(c) for c in U_CH]
+    mvals = clo + [v * 2048 for v in chi]
+    for g in range(8):
+        fracs = [(1, ch.msg(SBUS_RANGE, [v])) for v in mvals[4 * g : 4 * g + 4]]
+        cols.append(mux(one, [(act * mul, fracs)]))
     return cols
 
 
 class U256Air(Air):
-    """u256 wrapping addition over 16-bit limbs with boolean carries."""
+    """u256 wrapping add/mul over 16-bit limbs.
+
+    Add rows (U_MUL = 0, id 3) use boolean ripple carries; mul rows
+    (U_MUL = 1, id 5) constrain the 16x16 limb convolution
+    ``conv_k + c_{k-1} = o_k + c_k * 2^16`` with two-part carries
+    ``c_k = clo_k + chi_k * 2^16`` (clo 16-bit, chi < 32), matching the
+    reference's uint mul relation (precompiles-prover/src/uint/mul/)
+    with a carry-save arithmetization instead of byte LUTs."""
 
     width = U256_WIDTH
-    aux_width = 1 + 16
+    aux_width = 1 + 24
     num_randomness = 2
     num_aux_values = 1
     num_public_values = 6
@@ -331,24 +388,49 @@ class U256Air(Air):
         c = [f.main(col) for col in U_C]
         n_claims = f.public(4)
 
+        mul = f.main(U_MUL)
+        ch_cols = [f.main(col) for col in U_CH]
+
         A("zero", act * (act - 1), "act/bool")
         A("trans", (1 - act) * actn, "act/monotone")
         A("last", act, "act/last_padding")
         # no act/first: all-keccak sessions leave this chiplet fully
         # padded (the claim bus still forces a removal per u256 claim)
-        A("zero", act * (cid - U256_ADD_ID), "id/u256_add")
+        A("zero", mul * (mul - 1), "op/mul_bool")
+        A("zero", (1 - act) * mul, "op/pad_mul_zero")
+        # id = 3 (PID_U256_ADD) on add rows, 5 (PID_U256_MUL) on mul rows
+        A("zero", act * (cid - U256_ADD_ID - 2 * mul), "id/u256_op")
         # permutation cycle schedule: first id = 3·n_claims, step 3
         A("first", perm - n_claims * 3, "perm/first")
         A("trans", actn * (permn - perm - 3), "perm/step")
-        # limbwise addition with boolean carries
+        # add rows: limbwise addition with boolean carries
         for i in range(16):
             carry_in = c[i - 1] if i else f.const(0)
             A(
                 "zero",
-                act * (a[i] + b[i] + carry_in - o[i] - c[i] * (1 << 16)),
+                act * (1 - mul)
+                * (a[i] + b[i] + carry_in - o[i] - c[i] * (1 << 16)),
                 f"add/limb{i}",
             )
-            A("zero", act * c[i] * (c[i] - 1), f"add/carry{i}")
+            A("zero", act * (1 - mul) * c[i] * (c[i] - 1), f"add/carry{i}")
+            A("zero", act * (1 - mul) * ch_cols[i], f"add/chi_zero{i}")
+        # mul rows: carry-save convolution; carries range-bound via the
+        # range bus (u256_bus_columns mul batches)
+        for k in range(16):
+            conv = f.const(0)
+            for i in range(k + 1):
+                j = k - i
+                if j < 16:
+                    conv = conv + a[i] * b[j]
+            c_in = (
+                c[k - 1] + ch_cols[k - 1] * (1 << 16) if k else f.const(0)
+            )
+            c_out = c[k] + ch_cols[k] * (1 << 16)
+            A(
+                "zero",
+                act * mul * (conv + c_in - o[k] - c_out * (1 << 16)),
+                f"mul/limb{k}",
+            )
 
         cols = u256_bus_columns(f)
         acc = f.aux(0)
@@ -493,8 +575,8 @@ def build_session_traces(claims):
         sb = _operand_digest_state(cl.b)
         so = _operand_digest_state(cl.out)
         ha, hb, ho = sa[0:4], sb[0:4], so[0:4]
-        s_d1 = hp.permute([*ha, *hb, 0, 0, 0, 0])
-        s_st = hp.permute([*s_d1[0:4], *ho, cl.id, 0, 0, 0])
+        s_d1 = hp.permute([*ha, *hb, cl.id, 0, 0, 0])
+        s_st = hp.permute([*ho, 0, 0, 0, 0, *s_d1[8:12]])
         s_fd = hp.permute([*root, *s_st[0:4], 1, 0, 0, 0])
 
         row = chain[r]
@@ -504,8 +586,8 @@ def build_session_traces(claims):
         row[CH_PREV] = root
         row[CH_HA], row[CH_HB], row[CH_HO] = ha, hb, ho
         row[CH_D1], row[CH_STMT], row[CH_FOLD] = s_d1, s_st, s_fd
-        perm_cycles[3 * r] = ([*ha, *hb, 0, 0, 0, 0], 1)
-        perm_cycles[3 * r + 1] = ([*s_d1[0:4], *ho, cl.id, 0, 0, 0], 1)
+        perm_cycles[3 * r] = ([*ha, *hb, cl.id, 0, 0, 0], 1)
+        perm_cycles[3 * r + 1] = ([*ho, 0, 0, 0, 0, *s_d1[8:12]], 1)
         perm_cycles[3 * r + 2] = ([*root, *s_st[0:4], 1, 0, 0, 0], 1)
         root = tuple(s_fd[0:4])
 
@@ -519,15 +601,26 @@ def build_session_traces(claims):
         urow[U_PERM] = 3 * n + 3 * j
         la, lb, lo = _limbs16(cl.a), _limbs16(cl.b), _limbs16(cl.out)
         urow[U_A], urow[U_B], urow[U_O] = la, lb, lo
-        carry = 0
-        for i in range(16):
-            s = la[i] + lb[i] + carry
-            carry = s >> 16
-            urow[U_C[i]] = carry
+        if isinstance(cl, U256MulClaim):
+            urow[U_MUL] = 1
+            carry = 0
+            for k in range(16):
+                conv = sum(
+                    la[i] * lb[k - i] for i in range(k + 1) if k - i < 16
+                )
+                carry = (conv + carry - lo[k]) >> 16
+                urow[U_C[k]] = carry & _MASK16
+                urow[U_CH[k]] = carry >> 16
+        else:
+            carry = 0
+            for i in range(16):
+                s = la[i] + lb[i] + carry
+                carry = s >> 16
+                urow[U_C[i]] = carry
         urow[U_HA], urow[U_HB], urow[U_HO] = sa, sb, so
-        perm_cycles[3 * n + 3 * j] = ([*_limbs32(cl.a), 0, 0, 0, 0], 1)
-        perm_cycles[3 * n + 3 * j + 1] = ([*_limbs32(cl.b), 0, 0, 0, 0], 1)
-        perm_cycles[3 * n + 3 * j + 2] = ([*_limbs32(cl.out), 0, 0, 0, 0], 1)
+        perm_cycles[3 * n + 3 * j] = ([*_limbs32(cl.a), 2, 0, 0, 0], 1)
+        perm_cycles[3 * n + 3 * j + 1] = ([*_limbs32(cl.b), 2, 0, 0, 0], 1)
+        perm_cycles[3 * n + 3 * j + 2] = ([*_limbs32(cl.out), 2, 0, 0, 0], 1)
 
     keccak = None
     if keccak_claims:
@@ -539,9 +632,13 @@ def build_session_traces(claims):
     rng[:RANGE_VALUES, R_V] = np.arange(RANGE_VALUES, dtype=np.uint64)
     rng[:RANGE_VALUES, R_ACT] = 1
     counts = np.zeros(RANGE_VALUES, dtype=np.int64)
-    for cl in u256_claims:
+    for j, cl in enumerate(u256_claims):
         for v in (*_limbs16(cl.a), *_limbs16(cl.b), *_limbs16(cl.out)):
             counts[v] += 1
+        if isinstance(cl, U256MulClaim):
+            for k in range(16):
+                counts[int(u256[j, U_C[k]])] += 1
+                counts[int(u256[j, U_CH[k]]) * 2048] += 1
     rng[:RANGE_VALUES, R_M] = counts.astype(np.uint64)
 
     perm = VC.build_poseidon_trace(perm_cycles)

@@ -95,6 +95,22 @@ def handle_keccak_merge(processor) -> None:
     out = int.from_bytes(keccak256(msg), "little")
     dlimbs = [(out >> (32 * i)) & U32_MAX for i in range(8)]
     processor.advice.stack[0:0] = list(reversed(dlimbs))
+    # register the claim in the deferred DAG so the masm's LOGDEFERRED
+    # advances it through log_verified_statement (vm/deferred.py)
+    from ..vm.deferred import (
+        PID_KECCAK_MERGE,
+        binop_statement_node,
+        u256_value_node,
+    )
+
+    nodes = [u256_value_node(x) for x in (a, b, out)]
+    for node in nodes:
+        processor.deferred.register(node)
+    processor.deferred.register(
+        binop_statement_node(
+            PID_KECCAK_MERGE, *(n.digest() for n in nodes)
+        )
+    )
 
 
 def stdlib_event_handlers() -> dict[int, object]:

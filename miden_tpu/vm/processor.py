@@ -105,6 +105,10 @@ class ExecutionOutput:
     memory: dict
     clk: int
     deferred_root: tuple = (0, 0, 0, 0)  # final LOGDEFERRED fold
+    # the deferred DAG witness (vm/deferred.py DeferredState), when every
+    # LOGDEFERRED statement was host-registered (deferred_synced); None
+    # for raw folds of unregistered digests
+    deferred_state: object = None
 
 
 class HasherAllocator:
@@ -232,7 +236,18 @@ class Processor:
         # (ctx, ptr, clk, num_read_rows, num_eval_rows, var_words, instrs)
         self.ace_log: list[tuple] = []
         # deferred precompile claims: AND-chain root over statement digests
-        # (core/src/deferred/node.rs Tag::AND; TRUE_DIGEST = zero root)
+        # (core/src/deferred/node.rs Tag::AND; TRUE_DIGEST = zero root).
+        # The full DAG witness lives in self.deferred (vm/deferred.py
+        # DeferredState, core/src/deferred/state.rs): event handlers
+        # register claim nodes, LOGDEFERRED advances the root through
+        # log_verified_statement. Raw folds of digests the host never
+        # registered keep executing (the constrained chain does not
+        # require a witness) but clear deferred_synced, so no wire
+        # witness is exported for partial proofs.
+        from .deferred import DeferredState, default_registry
+
+        self.deferred = DeferredState(default_registry())
+        self.deferred_synced = True
         self.deferred_root: tuple = (0, 0, 0, 0)
         self.deferred_log: list[tuple] = []  # (statement_digest, new_root)
         self.tracer.attach(self)
@@ -278,6 +293,7 @@ class Processor:
             memory=self.memory,
             clk=self.clk,
             deferred_root=tuple(self.deferred_root),
+            deferred_state=self.deferred if self.deferred_synced else None,
         )
 
     def _tick(self, n: int = 1) -> None:
@@ -1051,6 +1067,18 @@ class Processor:
             out = hp.permute(state)
             self.deferred_root = tuple(out[0:4])
             self.deferred_log.append((tuple(stmt), self.deferred_root))
+            if self.deferred_synced:
+                from .deferred import DeferredError
+
+                try:
+                    self.deferred.log_verified_statement(
+                        tuple(stmt), self.deferred_root
+                    )
+                except DeferredError:
+                    # raw fold of an unregistered statement: the in-
+                    # circuit chain still advances, but the DAG witness
+                    # can no longer justify the root
+                    self.deferred_synced = False
             s[0:12] = out
             return [addr, *prev, 0]
         else:

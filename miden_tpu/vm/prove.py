@@ -46,9 +46,17 @@ class VmProof:
     kernel_digests: tuple
     stark: Proof
     deferred_root: tuple = (0, 0, 0, 0)
+    # serialized deferred-DAG wire witness (vm/deferred.py
+    # DeferredStateWire.to_bytes) justifying deferred_root, when the
+    # execution host-registered every logged statement. Partial
+    # verification rehydrates it (DeferredProof::Wire,
+    # core/src/deferred/wire.rs:1-13); FINAL verification ignores it and
+    # requires a session STARK, like the reference's rejection of
+    # wire-backed deferred proofs in public verification.
+    deferred_wire: bytes | None = None
 
     MAGIC = b"MVMP"
-    VERSION = 2
+    VERSION = 3
 
     def to_bytes(self) -> bytes:
         import struct
@@ -70,6 +78,9 @@ class VmProof:
         for d in self.kernel_digests:
             for v in d:
                 out += struct.pack("<Q", v % gl.P)
+        wire = self.deferred_wire or b""
+        out += struct.pack("<I", len(wire))
+        out += wire
         out += proof_to_bytes(self.stark)
         return bytes(out)
 
@@ -103,9 +114,17 @@ class VmProof:
         if n_kernel > 4096:
             raise ProofFormatError("implausible kernel size")
         kernel = tuple(tuple(read_felts(4)) for _ in range(n_kernel))
+        (n_wire,) = struct.unpack_from("<I", data, off)
+        off += 4
+        from .deferred import MAX_WIRE_BYTES
+
+        if n_wire > MAX_WIRE_BYTES:
+            raise ProofFormatError("implausible deferred wire size")
+        wire = bytes(data[off : off + n_wire]) if n_wire else None
+        off += n_wire
         return cls(
             ph, sin, sout, kernel, proof_from_bytes(data[off:]),
-            deferred_root=dr,
+            deferred_root=dr, deferred_wire=wire,
         )
 
 
@@ -223,6 +242,9 @@ def prove_program(
         [trace.matrix, trace.chiplets, trace.poseidon],
         DuplexChallenger(PROTOCOL_SEED),
     )
+    wire = None
+    if out.deferred_state is not None and any(trace.deferred_root):
+        wire = out.deferred_state.to_wire().to_bytes()
     return out, VmProof(
         program_hash=trace.program_hash,
         stack_inputs=list(trace.stack_inputs),
@@ -230,6 +252,7 @@ def prove_program(
         kernel_digests=tuple(trace.kernel_digests),
         stark=res.proof,
         deferred_root=tuple(trace.deferred_root),
+        deferred_wire=wire,
     )
 
 
@@ -270,6 +293,30 @@ def verify_program(
         elif deferred is not None:
             raise VerificationError(
                 "deferred proof supplied but the execution logged no claims"
+            )
+    elif proof.deferred_wire is not None:
+        # witness-backed partial verification (DeferredProof::Wire,
+        # core/src/deferred/wire.rs:89-122): rehydrate the untrusted
+        # wire under the default registry and require it to justify the
+        # bound root. A wire that fails strict canonical rehydration, or
+        # opens a different root, rejects the partial proof.
+        from .deferred import (
+            DeferredState,
+            DeferredStateWire,
+            IntegrityError,
+            default_registry,
+        )
+
+        try:
+            st = DeferredState.from_wire(
+                default_registry(),
+                DeferredStateWire.from_bytes(proof.deferred_wire),
+            )
+        except IntegrityError as e:
+            raise VerificationError(f"deferred wire rejected: {e}") from e
+        if st.root != tuple(v % gl.P for v in proof.deferred_root):
+            raise VerificationError(
+                "deferred wire does not open the bound deferred root"
             )
     statement = _statement(
         proof.program_hash,

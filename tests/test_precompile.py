@@ -140,3 +140,67 @@ def test_main_proof_binds_session_root_e2e():
     session = prove_deferred_state(CLAIMS, params=TEST_PARAMS)
     assert tuple(session.root) == tuple(proof.deferred_root)
     verify_program(proof, params=TEST_PARAMS, deferred=session)
+
+
+def test_u256_mul_claims_satisfy_constraints_and_balance():
+    """Mixed add+mul session: all AIRs satisfied, LogUp balanced, and
+    mul tamper (output limb, carry-hi overflow) rejected."""
+    from miden_tpu.precompile.session import U256MulClaim, U_CH, U_O
+
+    claims = [
+        U256AddClaim(a=(1 << 255) + 12345, b=(1 << 255) + (7 << 128)),
+        U256MulClaim(a=((1 << 256) - 1), b=((1 << 256) - 1)),  # max wrap
+        U256MulClaim(a=0xDEADBEEF_12345678, b=(1 << 200) + 17),
+        U256MulClaim(a=0, b=(1 << 255)),  # zero product
+    ]
+    chain, u256, rng, perm, root, _ = build_session_traces(claims)
+    publics = _publics(root, len(claims))
+    finals = []
+    for air, main in (
+        (ChainAir(), chain),
+        (U256Air(), u256),
+        (RangeTableAir(), rng),
+        (SessionPermAir(), perm),
+    ):
+        aux, vals = air.build_aux_trace(main, publics, [], RAND)
+        vs = check_air(
+            air, main, aux=aux, publics=publics, randomness=RAND,
+            aux_values=vals,
+        )
+        assert not vs, f"{type(air).__name__}: {vs[:4]}"
+        finals.extend(vals)
+    total = SessionMultiAir([]).eval_external(RAND, [finals], [])[0]
+    assert tuple(total) == (0, 0), f"LogUp imbalance: {total}"
+
+    uair = U256Air()
+    for col, delta in ((U_O[7], 1), (U_CH[3], 40)):
+        bad = u256.copy()
+        bad[1, col] = (int(bad[1, col]) + delta) % gl.P
+        aux, vals = uair.build_aux_trace(bad, publics, [], RAND)
+        vs = check_air(uair, bad, aux=aux, publics=publics,
+                       randomness=RAND, aux_values=vals)
+        # either a mul constraint fires, or (for carry games) the range
+        # bus unbalances against the untouched table
+        if not vs:
+            finals2 = list(vals)
+            for air, main in (
+                (ChainAir(), chain),
+                (RangeTableAir(), rng),
+                (SessionPermAir(), perm),
+            ):
+                _, v2 = air.build_aux_trace(main, publics, [], RAND)
+                finals2.extend(v2)
+            tot = SessionMultiAir([]).eval_external(RAND, [finals2], [])[0]
+            assert tuple(tot) != (0, 0), f"tamper {col} accepted"
+
+
+@pytest.mark.slow
+def test_prove_verify_mul_session_e2e():
+    from miden_tpu.precompile.session import U256MulClaim
+
+    claims = [
+        U256MulClaim(a=(1 << 128) + 3, b=(1 << 128) + 5),
+        U256AddClaim(a=7, b=9),
+    ]
+    proof = prove_deferred_state(claims, params=TEST_PARAMS)
+    verify_deferred(proof, deferred_root_for(claims), params=TEST_PARAMS)
