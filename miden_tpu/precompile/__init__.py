@@ -7,6 +7,7 @@ proof against the deferred root bound into the main proof's public claim.
 """
 
 from .keccak import Keccak256Claim
+from .keccak_var import KeccakClaim
 from .session import (
     DEFERRED_EMPTY_ROOT,
     U256AddClaim,
@@ -20,6 +21,7 @@ from .session import (
 __all__ = [
     "DEFERRED_EMPTY_ROOT",
     "Keccak256Claim",
+    "KeccakClaim",
     "U256AddClaim",
     "U256MulClaim",
     "claim_statement_digest",

@@ -1,11 +1,13 @@
-"""Deferred-precompile session: the second STARK (u256 add + keccak256).
+"""Deferred-precompile session: the second STARK (u256 add/mul +
+keccak256 merge + arbitrary-length keccak256).
 
 Mirrors the reference's precompile VM architecture (a 13-chiplet AIR
 stack proved with the same lifted-stark engine,
-precompiles-prover/src/session/mod.rs:1-35) at stage-2 scope: the chain
-/ u256 / range session AIRs + the keccak bit-column round AIR
-(keccak.py) + the reused Poseidon2 permutation AIR, cross-linked by
-LogUp buses, proving that
+precompiles-prover/src/session/mod.rs:1-35) at stage-3 scope: the chain
+/ u256 / range session AIRs + the keccak bit-column round AIRs
+(keccak.py 64-byte merge, keccak_var.py arbitrary length) + the
+canonical chunk-sponge AIR (keccak_var.SpongeAir) + the reused Poseidon2
+permutation AIR, cross-linked by LogUp buses, proving that
 
 1. the **deferred root** the main VM proof binds (the LOGDEFERRED
    AND-chain, vm/processor.py) is the fold of the claims' statement
@@ -28,18 +30,23 @@ LogUp buses, proving that
 
 AIR stack and buses:
 
-  ChainAir   --[wiring in/out]-->  Poseidon2PermutationAir (reused
-  U256Air    --[wiring in/out]-->    verbatim from the main VM)
-  ChainAir   --[claim bus]------>  U256Air
-  U256Air    --[range bus]------>  RangeTableAir
+  ChainAir     --[wiring in/out]-->  Poseidon2PermutationAir (reused
+  U256Air      --[wiring in/out]-->    verbatim from the main VM)
+  SpongeAir    --[wiring in/out]-->
+  ChainAir     --[claim bus]------>  U256Air / KeccakAir (merge)
+  KeccakVarAir --[chunk bus]------>  SpongeAir
+  SpongeAir    --[kstmt bus]------>  ChainAir (join claims)
+  U256Air      --[range bus]------>  RangeTableAir
+  SpongeAir    --[range bus]------>  RangeTableAir (len/nb binding)
 
 All aux accumulators sum to zero (MultiAir.eval_external), exactly the
 main VM's LogUp-balance structure. Statement publics:
-[root(4), n_claims, n_u256]. Permutation cycle ids: chain claim r
-(any kind, in root order) owns 3r (d1), 3r+1 (stmt), 3r+2 (fold);
-u256 chiplet row j owns 3n+3j (ha), +1 (hb), +2 (ho); keccak cycle j
-owns 3n+3·n_u256+3j.. — claim↔chiplet matching is order-free via the
-unordered claim bus, so claims may arrive in any (execution) order.
+[root(4), n_claims, n_u256, n_kmerge]. Permutation cycle ids: chain
+claim r (any kind, in root order) owns 3r..3r+2; u256 chiplet row j
+owns 3n+3j (ha), +1 (hb), +2 (ho); merge-keccak cycle j owns
+3(n+n_u256)+3j..; sponge row k owns 3(n+n_u256+n_kmerge)+k —
+claim↔chiplet matching is order-free via the unordered claim/kstmt
+buses, so claims may arrive in any (execution) order.
 """
 
 from __future__ import annotations
@@ -137,8 +144,22 @@ def _operand_digest_state(x: int) -> list[int]:
 
 
 def claim_statement_digest(claim) -> tuple:
-    """Canonical deferred-node digest of the claim's statement node
-    (deferred.binop_statement_node: pair-list [(a, b), (out, TRUE)])."""
+    """Canonical deferred-node digest of the claim's statement node:
+    pair-list [(a, b), (out, TRUE)] for binop/merge claims
+    (deferred.binop_statement_node), Join(msg_node, out_node) under tag
+    [id, len, 0, 0] for arbitrary-length keccak claims
+    (deferred.keccak_statement_node)."""
+    from ..vm.deferred import PID_KECCAK256
+
+    if claim.id == PID_KECCAK256:
+        from ..vm.deferred import Node, keccak_message_chunks
+
+        hm = Node.chunks_node(keccak_message_chunks(claim.message)).digest()
+        ho = _operand_digest_state(claim.out)[0:4]
+        stmt = hp.permute(
+            [*hm, *ho, claim.id, len(claim.message), 0, 0]
+        )[0:4]
+        return tuple(stmt)
     ha = _operand_digest_state(claim.a)[0:4]
     hb = _operand_digest_state(claim.b)[0:4]
     ho = _operand_digest_state(claim.out)[0:4]
@@ -168,23 +189,30 @@ CH_ACT = 0
 CH_PERM = 1
 CH_ID = 2
 CH_PREV = list(range(3, 7))
-CH_HA = list(range(7, 11))
+CH_HA = list(range(7, 11))  # pair-list claims: ha; join claims: hm
 CH_HB = list(range(11, 15))
 CH_HO = list(range(15, 19))
-CH_D1 = list(range(19, 31))
+CH_D1 = list(range(19, 31))  # pair-list: s1 full state (cap threaded)
 CH_STMT = list(range(31, 43))
 CH_FOLD = list(range(43, 55))
-CHAIN_WIDTH = 55
+CH_KK = 55  # claim kind: 0 = pair-list (add/mul/merge), 1 = join (keccak)
+CH_LEN = 56  # join claims: message byte length (tag arg)
+CHAIN_WIDTH = 57
 
 
 def chain_bus_columns(f):
-    """Fraction columns: 6 wiring insertions (3 permutations × in/out,
-    batched 2 per column) + 1 claim-bus insertion, gated by ACT."""
+    """Fraction columns: statement-sponge + fold wiring (3 permutation
+    slots per claim), the claim-bus insertion for pair-list claims, and
+    the kstmt-bus removal for join (arbitrary-length keccak) claims."""
+    from .keccak_var import SBUS_KSTMT
+
     ch = Challenges(f)
     one = f.const(1)
     act = f.main(CH_ACT)
     perm = f.main(CH_PERM)
     cid = f.main(CH_ID)
+    kk = f.main(CH_KK)
+    length = f.main(CH_LEN)
     prev = [f.main(c) for c in CH_PREV]
     ha = [f.main(c) for c in CH_HA]
     hb = [f.main(c) for c in CH_HB]
@@ -193,7 +221,8 @@ def chain_bus_columns(f):
     stmt = [f.main(c) for c in CH_STMT]
     fold = [f.main(c) for c in CH_FOLD]
 
-    # statement-node sponge, capacity threaded (deferred.Node.digest):
+    # pair-list statement-node sponge, capacity threaded
+    # (deferred.Node.digest):
     # absorb 1: s1 = P([ha, hb, cid, 0, 0, 0]) (tag word in capacity)
     # absorb 2: stmt = P([ho, 0^4, s1[8:12]])
     in_d1 = ch.msg(BUS_WIRING_IN, [perm, *ha, *hb, cid, 0, 0, 0])
@@ -202,14 +231,23 @@ def chain_bus_columns(f):
         BUS_WIRING_IN, [perm + 1, *ho, 0, 0, 0, 0, *[d1[i] for i in (8, 9, 10, 11)]]
     )
     out_st = ch.msg(BUS_WIRING_OUT, [perm + 1, *stmt])
+    # join statement node (one absorb): stmt = P([hm, ho, cid, len, 0, 0])
+    in_j = ch.msg(BUS_WIRING_IN, [perm, *ha, *ho, cid, length, 0, 0])
+    out_j = ch.msg(BUS_WIRING_OUT, [perm, *stmt])
+    # fold: both kinds
     in_fd = ch.msg(BUS_WIRING_IN, [perm + 2, *prev, *stmt[0:4], 1, 0, 0, 0])
     out_fd = ch.msg(BUS_WIRING_OUT, [perm + 2, *fold])
     claim = ch.msg(SBUS_CLAIM, [cid, *ha, *hb, *ho])
+    kstmt = ch.msg(SBUS_KSTMT, [length, *ha, *ho])
 
-    cols = []
-    for pair in ((in_d1, out_d1), (in_st, out_st), (in_fd, out_fd)):
-        cols.append(mux(one, [(act, [(1, pair[0]), (1, pair[1])])]))
-    cols.append(mux(one, [(act, [(1, claim)])]))
+    pl = act * (1 - kk)
+    jn = act * kk
+    cols = [
+        mux(one, [(pl, [(1, in_d1), (1, out_d1)]), (jn, [(1, in_j), (1, out_j)])]),
+        mux(one, [(pl, [(1, in_st), (1, out_st)])]),
+        mux(one, [(act, [(1, in_fd), (1, out_fd)])]),
+        mux(one, [(pl, [(1, claim)]), (jn, [(-1, kstmt)])]),
+    ]
     return cols
 
 
@@ -220,7 +258,7 @@ class ChainAir(Air):
     aux_width = 1 + 4
     num_randomness = 2
     num_aux_values = 1
-    num_public_values = 6
+    num_public_values = 7
 
     def eval(self, f) -> None:
         fam = {"zero": [], "trans": [], "first": [], "last": []}
@@ -232,10 +270,33 @@ class ChainAir(Air):
         actn = f.main(CH_ACT, 1)
         perm = f.main(CH_PERM)
         permn = f.main(CH_PERM, 1)
+        kk = f.main(CH_KK)
+        cid = f.main(CH_ID)
         prev = [f.main(c) for c in CH_PREV]
         prevn = [f.main(c, 1) for c in CH_PREV]
         fold = [f.main(c) for c in CH_FOLD]
         root = [f.public(i) for i in range(4)]
+
+        # claim-kind selector: join rows carry the arbitrary-length
+        # keccak id; pair-list rows one of the binop/merge ids
+        A("zero", kk * (kk - 1), "kind/bool")
+        A("zero", (1 - act) * kk, "kind/pad_zero")
+        from ..vm.deferred import (
+            PID_KECCAK256,
+            PID_KECCAK_MERGE,
+            PID_U256_MUL,
+        )
+
+        A("zero", kk * (cid - PID_KECCAK256), "kind/join_id")
+        A(
+            "zero",
+            act
+            * (1 - kk)
+            * (cid - U256_ADD_ID)
+            * (cid - PID_KECCAK_MERGE)
+            * (cid - PID_U256_MUL),
+            "kind/pairlist_id",
+        )
 
         # activity shape: boolean, monotone decreasing, last row inactive
         A("zero", act * (act - 1), "act/bool")
@@ -369,7 +430,7 @@ class U256Air(Air):
     aux_width = 1 + 24
     num_randomness = 2
     num_aux_values = 1
-    num_public_values = 6
+    num_public_values = 7
 
     def eval(self, f) -> None:
         fam = {"zero": [], "trans": [], "first": [], "last": []}
@@ -499,7 +560,7 @@ class RangeTableAir(Air):
     aux_width = 2
     num_randomness = 2
     num_aux_values = 1
-    num_public_values = 6
+    num_public_values = 7
 
     def eval(self, f) -> None:
         v = f.main(R_V)
@@ -538,7 +599,7 @@ class RangeTableAir(Air):
 
 
 class SessionPermAir(Poseidon2PermutationAir):
-    num_public_values = 6
+    num_public_values = 7
 
 
 # ---------------------------------------------------------------------------
@@ -550,27 +611,83 @@ def _pow2(n: int) -> int:
     return 1 << max(1, (n - 1).bit_length())
 
 
-def build_session_traces(claims):
-    """(chain, u256, range, perm, keccak-or-None) trace matrices + the
-    final root. Claims may mix U256AddClaim and Keccak256Claim in any
-    (execution) order."""
+@dataclass
+class SessionTraces:
+    """Session trace matrices. Iterates as the classic 6-tuple
+    (chain, u256, rng, perm, root, keccak) for existing call sites;
+    stage-3 chiplets ride as attributes."""
+
+    chain: object
+    u256: object
+    rng: object
+    perm: object
+    root: tuple
+    keccak: object = None  # merge-form bit-column chiplet
+    kvar: object = None  # arbitrary-length keccak chiplet
+    sponge: object = None  # canonical chunk-sponge chiplet
+
+    def __iter__(self):
+        return iter(
+            (self.chain, self.u256, self.rng, self.perm, self.root, self.keccak)
+        )
+
+
+def build_session_traces(claims) -> SessionTraces:
+    """Builds every session chiplet trace + the final deferred root.
+    Claims may mix U256AddClaim/U256MulClaim, Keccak256Claim (64-byte
+    merge), and keccak_var.KeccakClaim (any length) in any (execution)
+    order."""
     from .keccak import Keccak256Claim, build_keccak_trace
+    from .keccak_var import (
+        KeccakClaim,
+        build_keccak_var_trace,
+        build_sponge_trace,
+    )
 
     n = len(claims)
     assert n >= 1, "session requires at least one claim"
-    u256_claims = [c for c in claims if not isinstance(c, Keccak256Claim)]
+    u256_claims = [
+        c for c in claims if isinstance(c, (U256AddClaim, U256MulClaim))
+    ]
     keccak_claims = [c for c in claims if isinstance(c, Keccak256Claim)]
+    arb_claims = [c for c in claims if isinstance(c, KeccakClaim)]
     nu = len(u256_claims)
+    nk = len(keccak_claims)
 
     rows = _pow2(n + 1)  # ≥ one padding row (act monotone drop in-window)
     urows = _pow2(nu + 1)
     chain = np.zeros((rows, CHAIN_WIDTH), dtype=np.uint64)
     u256 = np.zeros((urows, U256_WIDTH), dtype=np.uint64)
     u256[0, U_PERM] = 3 * n  # perm/first anchor even with zero u256 claims
-    perm_cycles: list = [None] * (6 * n)
+    perm_cycles: list = [None] * (3 * n + 3 * nu + 3 * nk)
+    DUMMY = ([0] * 12, 0)
 
     root = DEFERRED_EMPTY_ROOT
     for r, cl in enumerate(claims):
+        row = chain[r]
+        row[CH_ACT] = 1
+        row[CH_PERM] = 3 * r
+        row[CH_ID] = cl.id
+        row[CH_PREV] = root
+        if isinstance(cl, KeccakClaim):
+            from ..vm.deferred import Node, keccak_message_chunks
+
+            hm = Node.chunks_node(keccak_message_chunks(cl.message)).digest()
+            ho = _operand_digest_state(cl.out)[0:4]
+            s_st = hp.permute([*hm, *ho, cl.id, len(cl.message), 0, 0])
+            s_fd = hp.permute([*root, *s_st[0:4], 1, 0, 0, 0])
+            row[CH_KK] = 1
+            row[CH_LEN] = len(cl.message)
+            row[CH_HA], row[CH_HO] = hm, ho
+            row[CH_STMT], row[CH_FOLD] = s_st, s_fd
+            perm_cycles[3 * r] = (
+                [*hm, *ho, cl.id, len(cl.message), 0, 0],
+                1,
+            )
+            perm_cycles[3 * r + 1] = DUMMY
+            perm_cycles[3 * r + 2] = ([*root, *s_st[0:4], 1, 0, 0, 0], 1)
+            root = tuple(s_fd[0:4])
+            continue
         sa = _operand_digest_state(cl.a)
         sb = _operand_digest_state(cl.b)
         so = _operand_digest_state(cl.out)
@@ -579,11 +696,6 @@ def build_session_traces(claims):
         s_st = hp.permute([*ho, 0, 0, 0, 0, *s_d1[8:12]])
         s_fd = hp.permute([*root, *s_st[0:4], 1, 0, 0, 0])
 
-        row = chain[r]
-        row[CH_ACT] = 1
-        row[CH_PERM] = 3 * r
-        row[CH_ID] = cl.id
-        row[CH_PREV] = root
         row[CH_HA], row[CH_HB], row[CH_HO] = ha, hb, ho
         row[CH_D1], row[CH_STMT], row[CH_FOLD] = s_d1, s_st, s_fd
         perm_cycles[3 * r] = ([*ha, *hb, cl.id, 0, 0, 0], 1)
@@ -626,7 +738,14 @@ def build_session_traces(claims):
     if keccak_claims:
         kperm: list = []
         keccak = build_keccak_trace(keccak_claims, n, nu, perm_states=kperm)
-        perm_cycles[3 * n + 3 * nu :] = kperm
+        perm_cycles[3 * n + 3 * nu : 3 * n + 3 * nu + 3 * nk] = kperm
+
+    kvar = sponge = None
+    if arb_claims:
+        kvar = build_keccak_var_trace(arb_claims)
+        sponge, _digests = build_sponge_trace(
+            arb_claims, 3 * (n + nu + nk), perm_cycles
+        )
 
     rng = np.zeros((RANGE_ROWS, RANGE_WIDTH), dtype=np.uint64)
     rng[:RANGE_VALUES, R_V] = np.arange(RANGE_VALUES, dtype=np.uint64)
@@ -639,10 +758,13 @@ def build_session_traces(claims):
             for k in range(16):
                 counts[int(u256[j, U_C[k]])] += 1
                 counts[int(u256[j, U_CH[k]]) * 2048] += 1
+    for cl in arb_claims:  # sponge (len, nb) binding values
+        counts[len(cl.message) - 136 * (cl.n_blocks - 1)] += 1
+        counts[136 * cl.n_blocks - 1 - len(cl.message)] += 1
     rng[:RANGE_VALUES, R_M] = counts.astype(np.uint64)
 
     perm = VC.build_poseidon_trace(perm_cycles)
-    return chain, u256, rng, perm, root, keccak
+    return SessionTraces(chain, u256, rng, perm, root, keccak, kvar, sponge)
 
 
 class SessionMultiAir(MultiAir):
@@ -654,13 +776,19 @@ class SessionMultiAir(MultiAir):
         return [total]
 
 
-def _session_statement(root, n_claims: int, n_u256: int) -> Statement:
+def _session_statement(
+    root, n_claims: int, n_u256: int, n_kmerge: int
+) -> Statement:
     from .keccak import KeccakAir
+    from .keccak_var import KeccakVarAir, SpongeAir
 
-    publics = [*[v % P for v in root], n_claims, n_u256]
+    publics = [*[v % P for v in root], n_claims, n_u256, n_kmerge]
     airs = [ChainAir(), U256Air(), RangeTableAir(), SessionPermAir()]
-    if n_u256 < n_claims:  # keccak claims present
+    if n_kmerge > 0:
         airs.append(KeccakAir())
+    if n_claims - n_u256 - n_kmerge > 0:  # arbitrary-length keccak claims
+        airs.append(KeccakVarAir())
+        airs.append(SpongeAir())
     return Statement(SessionMultiAir(airs), publics)
 
 
@@ -677,10 +805,13 @@ class DeferredProof:
     n_claims: int
     stark: object  # stark.prover.Proof
     n_u256: int = -1  # -1 = legacy all-u256 session
+    n_kmerge: int = -1  # -1 = legacy: every non-u256 claim is a merge
 
     def __post_init__(self):
         if self.n_u256 < 0:
             self.n_u256 = self.n_claims
+        if self.n_kmerge < 0:
+            self.n_kmerge = self.n_claims - self.n_u256
 
 
 def prove_deferred_state(claims, params: PcsParams = MIDEN_PARAMS) -> DeferredProof:
@@ -691,15 +822,19 @@ def prove_deferred_state(claims, params: PcsParams = MIDEN_PARAMS) -> DeferredPr
 
     from .keccak import Keccak256Claim
 
-    chain, u256, rng, perm, root, keccak = build_session_traces(claims)
+    tr = build_session_traces(claims)
     n = len(claims)
-    nu = sum(1 for c in claims if not isinstance(c, Keccak256Claim))
-    statement = _session_statement(root, n, nu)
-    traces = [chain, u256, rng, perm]
-    if keccak is not None:
-        traces.append(keccak)
+    nu = sum(1 for c in claims if isinstance(c, (U256AddClaim, U256MulClaim)))
+    nk = sum(1 for c in claims if isinstance(c, Keccak256Claim))
+    statement = _session_statement(tr.root, n, nu, nk)
+    traces = [tr.chain, tr.u256, tr.rng, tr.perm]
+    for extra in (tr.keccak, tr.kvar, tr.sponge):
+        if extra is not None:
+            traces.append(extra)
     res = prove(params, statement, traces, DuplexChallenger(SESSION_SEED))
-    return DeferredProof(root=root, n_claims=n, stark=res.proof, n_u256=nu)
+    return DeferredProof(
+        root=tr.root, n_claims=n, stark=res.proof, n_u256=nu, n_kmerge=nk
+    )
 
 
 def verify_deferred(
@@ -715,10 +850,94 @@ def verify_deferred(
         raise VerificationError("deferred root mismatch")
     if not 0 <= proof.n_u256 <= proof.n_claims:
         raise VerificationError("invalid session claim counts")
-    statement = _session_statement(proof.root, proof.n_claims, proof.n_u256)
+    if not 0 <= proof.n_kmerge <= proof.n_claims - proof.n_u256:
+        raise VerificationError("invalid session claim counts")
+    statement = _session_statement(
+        proof.root, proof.n_claims, proof.n_u256, proof.n_kmerge
+    )
     from ..transcript.challenger import TranscriptError
 
     try:
         verify(params, statement, proof.stark, DuplexChallenger(SESSION_SEED))
     except TranscriptError as e:
         raise VerificationError(str(e)) from e
+
+
+# ---------------------------------------------------------------------------
+# Deferred-DAG bridge
+# ---------------------------------------------------------------------------
+
+
+def claims_from_deferred_state(state) -> list:
+    """Extracts session claims from a DeferredState's AND-chain in root
+    order — the bridge from an execution's DAG witness
+    (vm/processor.py) to the session prover. Raises DeferredError for
+    statements no session chiplet covers."""
+    from ..vm.deferred import (
+        DeferredError,
+        PID_KECCAK256,
+        PID_KECCAK_MERGE,
+        TAG_CHUNKS,
+        TRUE_DIGEST,
+    )
+    from .keccak import Keccak256Claim
+    from .keccak_var import KeccakClaim
+
+    def chunk_value(digest):
+        node = state.get_node(tuple(digest))
+        if node is None or node.tag != TAG_CHUNKS or len(node.chunks) != 1:
+            raise DeferredError("operand is not a one-chunk value node")
+        (chunk,) = node.chunks
+        return sum(int(v) << (32 * i) for i, v in enumerate(chunk))
+
+    stmts = []
+    cur = tuple(state.root)
+    while cur != TRUE_DIGEST:
+        and_node = state.get_node(cur)
+        if and_node is None or and_node.tag.id != 1:
+            raise DeferredError("deferred root is not an AND-chain")
+        prev, stmt = and_node.as_join()
+        stmts.append(tuple(stmt))
+        cur = tuple(prev)
+    stmts.reverse()
+
+    claims = []
+    for sd in stmts:
+        node = state.get_node(sd)
+        if node is None:
+            raise DeferredError("statement node missing from the DAG")
+        pid = node.tag.id
+        if pid in (U256_ADD_ID, U256_MUL_ID, PID_KECCAK_MERGE):
+            (a_d, b_d), (out_d, _true) = node.as_pairs()
+            a, b = chunk_value(a_d), chunk_value(b_d)
+            cls = {
+                U256_ADD_ID: U256AddClaim,
+                U256_MUL_ID: U256MulClaim,
+                PID_KECCAK_MERGE: Keccak256Claim,
+            }[pid]
+            claims.append(cls(a=a, b=b))
+        elif pid == PID_KECCAK256:
+            length = int(node.tag.args[0])
+            msg_d, _out_d = node.as_join()
+            msg_node = state.get_node(tuple(msg_d))
+            if msg_node is None or msg_node.tag != TAG_CHUNKS:
+                raise DeferredError("keccak message node missing")
+            data = bytearray()
+            for chunk in msg_node.chunks:
+                for v in chunk:
+                    data += int(v).to_bytes(4, "little")
+            message = bytearray()
+            for j in range(len(msg_node.chunks) // 5):
+                message += data[160 * j : 160 * j + 136]
+            claims.append(KeccakClaim(message=bytes(message[:length])))
+        else:
+            raise DeferredError(f"no session chiplet for precompile {pid}")
+    return claims
+
+
+def prove_deferred_state_dag(state, params: PcsParams = MIDEN_PARAMS):
+    """Prove the claims logged in a DeferredState; the session root
+    equals the DAG root (and thus the main proof's bound root)."""
+    proof = prove_deferred_state(claims_from_deferred_state(state), params)
+    assert tuple(proof.root) == tuple(state.root), "DAG/session root split"
+    return proof

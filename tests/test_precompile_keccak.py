@@ -51,8 +51,9 @@ MIXED = [
 ]
 
 
-def _publics(root, n, nu):
-    return [*[int(v) % gl.P for v in root], n, nu]
+def _publics(root, n, nu, nk=None):
+    nk = (n - nu) if nk is None else nk
+    return [*[int(v) % gl.P for v in root], n, nu, nk]
 
 
 def _bits_to_int(row, first, count):
