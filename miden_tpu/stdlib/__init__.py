@@ -121,4 +121,65 @@ def stdlib_event_handlers() -> dict[int, object]:
         event_id(
             "miden::core::crypto::hashes::keccak256::merge"
         ): handle_keccak_merge,
+        event_id(
+            "miden::core::crypto::hashes::keccak256::hash_memory"
+        ): handle_keccak_hash_memory,
     }
+
+
+def handle_keccak_hash_memory(processor) -> None:
+    """``miden::core::crypto::hashes::keccak256::hash_memory``: read the
+    message from memory (canonical chunk layout: 40 u32 limbs per
+    136-byte block, zero-padded — vm/deferred.py keccak_message_chunks),
+    validate the layout, push the keccak256 digest limbs onto the
+    advice stack (d7 first), and register the arbitrary-length claim in
+    the deferred DAG."""
+    from ..hash.keccak_host import keccak256
+    from ..vm.deferred import (
+        Node,
+        keccak_message_chunks,
+        keccak_statement_node,
+    )
+
+    s = processor.stack
+    ptr, length = int(s[1]), int(s[2])
+    n_blocks = length // 136 + 1
+    limbs = []
+    for i in range(40 * n_blocks):
+        addr = ptr + i
+        word = processor.memory.get(
+            (processor.ctx, addr - addr % 4), (0, 0, 0, 0)
+        )
+        v = int(word[addr % 4])
+        if v > U32_MAX:
+            raise ExecutionError(
+                "keccak256::hash_memory: memory limb not u32"
+            )
+        limbs.append(v)
+    data = b"".join(v.to_bytes(4, "little") for v in limbs)
+    message = bytearray()
+    for j in range(n_blocks):
+        message += data[160 * j : 160 * j + 136]
+    if any(message[length:]):
+        raise ExecutionError(
+            "keccak256::hash_memory: nonzero bytes beyond the message"
+        )
+    message = bytes(message[:length])
+    want = [
+        v for chunk in keccak_message_chunks(message) for v in chunk
+    ]
+    if limbs != want:
+        raise ExecutionError(
+            "keccak256::hash_memory: non-canonical chunk layout"
+        )
+
+    digest = keccak256(message)
+    out = int.from_bytes(digest, "little")
+    dlimbs = [(out >> (32 * i)) & U32_MAX for i in range(8)]
+    processor.advice.stack[0:0] = list(reversed(dlimbs))
+
+    out_node = Node.chunks_from_bytes(digest)
+    processor.deferred.register(out_node)
+    msg_node, stmt = keccak_statement_node(message, out_node.digest())
+    processor.deferred.register(msg_node)
+    processor.deferred.register(stmt)

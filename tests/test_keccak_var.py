@@ -187,3 +187,65 @@ def test_claims_from_deferred_state_roundtrip():
     ]
     assert deferred_root_for(claims) == tuple(st.root)
     assert st.root == tuple(deferred_root_for(MIXED))
+
+
+def _hash_memory_program(message: bytes):
+    """MASM that stores `message` in the canonical chunk layout at
+    address 1000 and calls keccak256::hash_memory."""
+    from miden_tpu.vm.deferred import keccak_message_chunks
+
+    limbs = [v for c in keccak_message_chunks(message) for v in c]
+    stores = "".join(
+        f"push.{v}.{1000 + i} mem_store " for i, v in enumerate(limbs) if v
+    )
+    return (
+        "use miden::core::crypto::hashes::keccak256\n"
+        f"begin {stores} push.{len(message)} push.1000 "
+        "exec.keccak256::hash_memory end"
+    )
+
+
+def test_hash_memory_masm_digest_and_dag():
+    """keccak256::hash_memory returns the digest, folds the canonical
+    id-6 claim into the deferred root, and keeps the DAG synced."""
+    from miden_tpu.stdlib import assemble_with_stdlib, stdlib_event_handlers
+    from miden_tpu.vm.processor import execute
+
+    msg = bytes(range(1, 201))  # 200 bytes -> 2 blocks
+    out = execute(
+        assemble_with_stdlib(_hash_memory_program(msg)),
+        [0] * 16,
+        event_handlers=stdlib_event_handlers(),
+    )
+    want = int.from_bytes(keccak256(msg), "little")
+    assert list(out.stack[0:8]) == [
+        (want >> (32 * i)) & 0xFFFFFFFF for i in range(8)
+    ]
+    cl = KeccakClaim(message=msg)
+    assert tuple(out.deferred_root) == deferred_root_for([cl])
+    assert out.deferred_state is not None
+    assert out.deferred_state.root == tuple(out.deferred_root)
+    from miden_tpu.precompile.session import claims_from_deferred_state
+
+    assert claims_from_deferred_state(out.deferred_state) == [cl]
+
+
+@pytest.mark.slow
+def test_hash_memory_full_loop_e2e():
+    """Execute -> main proof -> DAG-discharged session proof -> full
+    verification: the complete stage-3 'bound to a main proof' loop."""
+    from miden_tpu.precompile.session import prove_deferred_state_dag
+    from miden_tpu.stdlib import assemble_with_stdlib, stdlib_event_handlers
+    from miden_tpu.vm.prove import prove_program, verify_program
+
+    msg = bytes(range(1, 151))
+    out, proof = prove_program(
+        assemble_with_stdlib(_hash_memory_program(msg)),
+        params=TEST_PARAMS,
+        event_handlers=stdlib_event_handlers(),
+    )
+    assert any(proof.deferred_root)
+    # partial verification consumes the embedded wire witness
+    verify_program(proof, params=TEST_PARAMS, partial=True)
+    session = prove_deferred_state_dag(out.deferred_state, params=TEST_PARAMS)
+    verify_program(proof, params=TEST_PARAMS, deferred=session)
