@@ -55,7 +55,7 @@ def trace_gen_lib():
             u64p, ctypes.c_int64, u64p,           # stack_init, depth0, ovf_clk_init
             ctypes.c_uint64, ctypes.c_uint64, u64p,  # clk0, ctx, fn_hash
             ctypes.c_uint64, ctypes.c_uint64,     # block_addr, parent_addr
-            ctypes.c_int64, u64p,                 # write_end, digest
+            ctypes.c_int64, ctypes.c_int64, u64p,  # write_end, is_loop_body, digest
             u64p, ctypes.c_int64, u64p, i64p,     # out, cap_rows, rc_out, n_rc_out
             u64p, u64p, ctypes.c_int64,           # stack_buf, ovf_buf, stack_cap
             u64p, u64p, u64p, i64p, u64p,         # final 16/ovf/ovf_clk/depth/clk

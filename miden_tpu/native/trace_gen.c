@@ -350,7 +350,8 @@ i64 run_block_segment(
        hasher address and its parent's */
     const u64 *stack_init, i64 depth0, const u64 *ovf_clk_init,
     u64 clk0, u64 ctx, const u64 *fn_hash,
-    u64 block_addr, u64 parent_addr, i64 write_end, const u64 *digest,
+    u64 block_addr, u64 parent_addr, i64 write_end, i64 is_loop_body,
+    const u64 *digest,
     u64 *out, i64 cap_rows, u64 *rc_out, i64 *n_rc_out,
     u64 *stack_buf, u64 *ovf_buf, i64 stack_cap,
     u64 *final_stack /* 16 */, u64 *final_ovf, u64 *final_ovf_clk,
@@ -467,7 +468,8 @@ i64 run_block_segment(
     if (write_end) {
         /* END row */
         if (row_i >= cap_rows) return -2;
-        u64 h[8] = {digest[0], digest[1], digest[2], digest[3], 0, 0, 0, 0};
+        u64 h[8] = {digest[0], digest[1], digest[2], digest[3],
+                    (u64)is_loop_body, 0, 0, 0};
         capture(out + row_i * W, &v, 0x70 /* END */, addr, h, 0, 0, 0, 0);
         row_i++;
         v.clk++;
@@ -497,7 +499,7 @@ i64 run_basic_block(
     return run_block_segment(
         groups, n_groups, n_batches, batch_of_op, op_code, op_kind,
         op_param, op_imm, op_has_imm, n_ops,
-        stack_init, MINDEPTH, 0, 0, 0, fn, 1, 0, 1, digest,
+        stack_init, MINDEPTH, 0, 0, 0, fn, 1, 0, 1, 0, digest,
         out, cap_rows, rc_out, n_rc_out, stack_buf, ovf_buf, stack_cap,
         final_stack, 0, 0, final_depth, final_clk);
 }

@@ -81,7 +81,9 @@ def _node_tables(node: BasicBlockNode):
     return cache
 
 
-def native_block_segment(proc, tracer, node: BasicBlockNode, addr: int) -> bool:
+def native_block_segment(
+    proc, tracer, node: BasicBlockNode, addr: int, is_loop_body: bool = False
+) -> bool:
     """Execute + trace one basic block in C at the processor's current
     state, splicing the rows (SPAN + ops + RESPANs + END) into the tracer
     as a segment and advancing the processor (clk, stack, overflow).
@@ -139,7 +141,7 @@ def native_block_segment(proc, tracer, node: BasicBlockNode, addr: int) -> bool:
         u64p(params), u64p(imms), u64p(has_imm), n_ops,
         u64p(stack_init), depth0, u64p(ovf_init),
         proc.clk, proc.ctx, u64p(fn_hash),
-        addr, tracer._cur_addr(), 1, u64p(digest),
+        addr, tracer._cur_addr(), 1, int(is_loop_body), u64p(digest),
         u64p(out), n_rows, u64p(rc_out), i64p(n_rc),
         u64p(stack_buf), u64p(ovf_buf), stack_cap,
         u64p(final16), u64p(final_ovf), u64p(final_ovf_clk),

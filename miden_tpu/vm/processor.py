@@ -415,16 +415,15 @@ class Processor:
 
     def _execute_basic_block(self, node: BasicBlockNode, is_loop_body: bool) -> None:
         addr = self.hasher.hash_basic_block([list(b.groups) for b in node.batches])
-        if not is_loop_body:
-            # blocks inside the native op subset execute + trace in C
-            # (~10^8 rows/s); anything else — or a loop body, whose END row
-            # carries the h4 flag — takes the exact Python path below
-            from .native_trace import native_block_segment
+        # blocks inside the native op subset execute + trace in C
+        # (~10^8 rows/s), including loop bodies (their END row carries
+        # the h4 flag); anything else takes the exact Python path below
+        from .native_trace import native_block_segment
 
-            if native_block_segment(self, self.tracer, node, addr):
-                if self.clk > self.max_cycles:
-                    raise ExecutionError("max cycles exceeded")
-                return
+        if native_block_segment(self, self.tracer, node, addr, is_loop_body):
+            if self.clk > self.max_cycles:
+                raise ExecutionError("max cycles exceeded")
+            return
         self.tracer.on_span_start(node, addr)
         self._tick()  # SPAN
         for batch_index, batch in enumerate(node.batches):

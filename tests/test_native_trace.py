@@ -123,3 +123,40 @@ def test_native_prove_verify_e2e():
     out, proof = prove_program(prog, params=TEST_PARAMS)
     assert out.stack[0] == 144  # fib(12)
     verify_program(proof, params=TEST_PARAMS)
+
+
+def test_loop_body_blocks_run_native_and_match_python():
+    """Control-flow programs route loop-body basic blocks through the C
+    segment path (END rows carry the h4 is_loop_body flag); the full
+    trace matches the pure-Python build bit for bit."""
+    import os
+
+    from miden_tpu.vm.assembler import assemble
+    from miden_tpu.vm.trace import execute_and_trace
+
+    # while loop: counts down from 40, accumulating fib-style adds
+    src = (
+        "begin push.40 push.0 push.1 "
+        "dup.2 neq.0 "
+        "while.true "
+        "  swap dup.1 add "
+        "  movup.2 sub.1 movdn.2 "
+        "  dup.2 neq.0 "
+        "end "
+        "movup.2 drop swap drop swap drop "
+        "end"
+    )
+    prog = assemble(src)
+    out_c, tr_c = execute_and_trace(prog)
+    os.environ["MIDEN_TPU_NATIVE"] = "0"
+    try:
+        out_py, tr_py = execute_and_trace(prog)
+    finally:
+        del os.environ["MIDEN_TPU_NATIVE"]
+
+    assert out_c.stack == out_py.stack and out_c.clk == out_py.clk
+    assert tr_c.matrix.shape == tr_py.matrix.shape
+    mismatch = np.argwhere(tr_c.matrix != tr_py.matrix)
+    assert mismatch.size == 0, f"core matrix differs first at {mismatch[:5]}"
+    assert np.array_equal(tr_c.chiplets, tr_py.chiplets)
+    assert np.array_equal(tr_c.poseidon, tr_py.poseidon)
