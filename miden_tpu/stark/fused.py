@@ -212,7 +212,16 @@ def prove_fused(params, statement, traces, challenger, preprocessed=None):
     # and multi-hour compiles); split LDEs / tree builds / per-instance
     # constraint evaluation into their own phases there. Smaller sizes keep
     # the coarser (already-cached) phase structure.
-    fine = max_log_h >= 19 or os.environ.get("MIDEN_TPU_FUSED_FINE") == "1"
+    # Statements can lower the fine-split threshold (fused_fine_log_h on
+    # the MultiAir): the real VM statement's wider aux/chiplet set OOMs
+    # the 16 GB chip at 2^18 under the coarse split (phase-local LDE
+    # temporaries stay live across the whole phase graph), while the
+    # synthetic shaped statement keeps the coarser cached structure.
+    fine_at = getattr(statement.multi_air, "fused_fine_log_h", 19)
+    fine = (
+        max_log_h >= min(19, fine_at)
+        or os.environ.get("MIDEN_TPU_FUSED_FINE") == "1"
+    )
 
     def _lde_one(ch, args):
         (m,) = args
