@@ -22,8 +22,11 @@ Env:
   BENCH_LOG_N     force a single core-trace log2 height (skips the sweep)
   BENCH_SIZES     comma-separated log2 heights for the sweep (default
                   "14,16,18,20")
-  BENCH_BUDGET_S  wall-clock budget in seconds (default 1500); a size is
-                  skipped if the remaining budget is clearly insufficient
+  BENCH_BUDGET_S  wall-clock budget in seconds (default 3600); a size is
+                  skipped if the remaining budget is clearly insufficient.
+                  The per-size flush makes an external timeout truncate
+                  the record to completed sizes, so a budget larger than
+                  the driver's box costs nothing
   BENCH_REPS      steady-state repetitions per size (default 3)
   BENCH_VERIFY    "1" to also verify the proof (off by default; verification
                   is host-side and not the benched quantity)
@@ -130,7 +133,7 @@ def main() -> None:
         bench_vm()
         return
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "3600"))
 
     forced = os.environ.get("BENCH_LOG_N")
     if forced is not None:

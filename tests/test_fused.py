@@ -29,6 +29,7 @@ def _prove_with(fused: bool, statement, traces):
         os.environ.pop("MIDEN_TPU_FUSED", None)
 
 
+@pytest.mark.slow
 def test_fused_matches_eager_bit_exact():
     statement, traces = miden_shaped_statement(6)
     eager = _prove_with(False, statement, traces)

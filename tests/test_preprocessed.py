@@ -56,6 +56,7 @@ def _st(offset=3):
     return Statement(MultiAir([SquareLutAir()]), [offset])
 
 
+@pytest.mark.slow
 def test_preprocessed_roundtrip():
     st = _st()
     pp = build_preprocessed(st, TEST_PARAMS)

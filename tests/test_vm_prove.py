@@ -11,6 +11,7 @@ import pytest
 
 from miden_tpu.stark.verifier import VerificationError
 from miden_tpu.vm.assembler import assemble
+from miden_tpu.stark.params import TEST_PARAMS
 from miden_tpu.vm.prove import prove_program, verify_program
 
 # On the CPU test mesh the prover automatically uses the bytecode
@@ -20,10 +21,13 @@ from miden_tpu.vm.prove import prove_program, verify_program
 
 @pytest.fixture(scope="module")
 def proven():
+    # TEST_PARAMS keeps the module fixture inside the fast-gate budget
+    # (the MIDEN_PARAMS profile costs ~2.5 min of CPU compile); the
+    # production profile is exercised by the slow e2e tests and bench.py
     prog = assemble(
         "begin push.0 push.1 repeat.10 swap dup.1 add end swap drop swap drop end"
     )
-    out, proof = prove_program(prog)
+    out, proof = prove_program(prog, params=TEST_PARAMS)
     return out, proof
 
 
@@ -31,7 +35,7 @@ def test_prove_and_verify_roundtrip(proven):
     out, proof = proven
     assert out.stack[0] == 89  # fib(11)
     assert proof.stack_outputs[0] == 89
-    verify_program(proof)
+    verify_program(proof, params=TEST_PARAMS)
 
 
 def test_tampered_output_rejected(proven):
@@ -40,7 +44,7 @@ def test_tampered_output_rejected(proven):
         proof, stack_outputs=[123] + list(proof.stack_outputs[1:])
     )
     with pytest.raises(VerificationError):
-        verify_program(bad)
+        verify_program(bad, params=TEST_PARAMS)
 
 
 def test_tampered_program_hash_rejected(proven):
@@ -49,7 +53,7 @@ def test_tampered_program_hash_rejected(proven):
     ph[0] ^= 1
     bad = dataclasses.replace(proof, program_hash=tuple(ph))
     with pytest.raises(VerificationError):
-        verify_program(bad)
+        verify_program(bad, params=TEST_PARAMS)
 
 
 def test_tampered_inputs_rejected(proven):
@@ -58,7 +62,7 @@ def test_tampered_inputs_rejected(proven):
         proof, stack_inputs=[7] + list(proof.stack_inputs[1:])
     )
     with pytest.raises(VerificationError):
-        verify_program(bad)
+        verify_program(bad, params=TEST_PARAMS)
 
 
 def test_proof_serialization_roundtrip(proven):
@@ -70,7 +74,7 @@ def test_proof_serialization_roundtrip(proven):
     assert back.program_hash == proof.program_hash
     assert back.stack_outputs == proof.stack_outputs
     assert back.kernel_digests == proof.kernel_digests
-    verify_program(back)
+    verify_program(back, params=TEST_PARAMS)
     # bit-flip anywhere in the claim or transcript must fail parse or verify
     import pytest as _p
 
@@ -79,7 +83,7 @@ def test_proof_serialization_roundtrip(proven):
     corrupt = bytearray(blob)
     corrupt[10] ^= 1
     with _p.raises((ProofFormatError, VerificationError)):
-        verify_program(VmProof.from_bytes(bytes(corrupt)))
+        verify_program(VmProof.from_bytes(bytes(corrupt)), params=TEST_PARAMS)
 
 
 def test_cli_compile_and_run(tmp_path):
