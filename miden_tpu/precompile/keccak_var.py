@@ -401,25 +401,25 @@ class KeccakVarAir(Air):
             )
         )
 
-        # -- byte mask + pad10*1 (cycle row 0 only) --
+        # -- byte mask + pad10*1 (cycle row 0 only), vectorized --
         sel = [f.main(V_S0 + b) for b in range(136)]
-        for b in range(135):
-            fam.append(
-                (
-                    "zero",
-                    act * pfirst * (1 - sel[b]) * sel[b + 1],
-                    [f"mask/monotone{b}"],
-                )
+        sel_lo = f.main_many(range(V_S0, V_S0 + 135))
+        sel_hi = f.main_many(range(V_S0 + 1, V_S0 + 136))
+        fam.append(
+            (
+                "zero",
+                act * pfirst * (1 - sel_lo) * sel_hi,
+                [f"mask/monotone{b}" for b in range(135)],
             )
+        )
         # full (non-last) blocks carry 136 message bytes
-        for b in range(136):
-            fam.append(
-                (
-                    "zero",
-                    act * pfirst * (1 - last) * (sel[b] - 1),
-                    [f"mask/full{b}"],
-                )
+        fam.append(
+            (
+                "zero",
+                act * pfirst * (1 - last) * (s_all - 1),
+                [f"mask/full{b}" for b in range(136)],
             )
+        )
         # last block: mask boundary at len - 136*(nb-1) message bytes
         ssum = sel[0]
         for b in range(1, 136):
@@ -432,29 +432,24 @@ class KeccakVarAir(Air):
             )
         )
         # pad bytes on the last block: 0x01 at the first pad byte, zeros
-        # between, 0x80 folded into byte 135 (0x81 when it is also first)
+        # between, 0x80 folded into byte 135 (0x81 when it is also first).
+        # One vectorized family per bit position over the 136 bytes.
         lastg = act * pfirst * last
-        for b in range(136):
-            pb = (1 - sel[0]) if b == 0 else (sel[b - 1] - sel[b])
-            gate = lastg * (1 - sel[b])
+        notsel = 1 - s_all
+        # pb[b] = first-pad indicator = sel[b-1] - sel[b] (sel[-1] := 1)
+        pb = f.stack([1 - sel[0]]) if False else None
+        pb = f.stack([(1 - sel[0])] + [sel[b - 1] - sel[b] for b in range(1, 136)])
+        for t in range(8):
+            m_t = f.main_many(range(V_M0 + t, V_M0 + 1088 + t, 8))
+            if t == 0:
+                expr = lastg * notsel * (m_t - pb)
+            elif t < 7:
+                expr = lastg * notsel * m_t
+            else:
+                hi = f.stack([f.const(1 if b == 135 else 0) for b in range(136)])
+                expr = lastg * notsel * (m_t - hi)
             fam.append(
-                (
-                    "zero",
-                    gate * (f.main(V_M0 + 8 * b) - pb),
-                    [f"pad/one{b}"],
-                )
-            )
-            for t in range(1, 7):
-                fam.append(
-                    ("zero", gate * f.main(V_M0 + 8 * b + t), [f"pad/z{b}_{t}"])
-                )
-            hi = 1 if b == 135 else 0
-            fam.append(
-                (
-                    "zero",
-                    gate * (f.main(V_M0 + 8 * b + 7) - hi),
-                    [f"pad/hi{b}"],
-                )
+                ("zero", expr, [f"pad/bit{t}_{b}" for b in range(136)])
             )
 
         # -- buses --
