@@ -205,3 +205,50 @@ def test_prove_verify_mul_session_e2e():
     ]
     proof = prove_deferred_state(claims, params=TEST_PARAMS)
     verify_deferred(proof, deferred_root_for(claims), params=TEST_PARAMS)
+
+
+def test_permuted_perm_cycle_ids_rejected():
+    """Adversarial: swapping permutation-cycle ids across claims (so a
+    chiplet wires its hashes to the other claim's Poseidon2 cycles) must
+    break a wiring fraction or the cross-AIR balance — a forged claim
+    cannot ride a valid-looking root (VERDICT r3 weak #8)."""
+    from miden_tpu.precompile.session import CH_PERM, U_PERM
+
+    tr = build_session_traces(CLAIMS)
+    chain, u256, rng, perm, root, _ = tr
+    publics = _publics(root, len(CLAIMS))
+
+    def balance_and_checks(mats):
+        finals, bad = [], []
+        for air, main in (
+            (ChainAir(), mats[0]),
+            (U256Air(), mats[1]),
+            (RangeTableAir(), rng),
+            (SessionPermAir(), perm),
+        ):
+            aux, vals = air.build_aux_trace(main, publics, [], RAND)
+            vs = check_air(air, main, aux=aux, publics=publics,
+                           randomness=RAND, aux_values=vals)
+            bad.extend(vs)
+            finals.extend(vals)
+        total = SessionMultiAir([]).eval_external(RAND, [finals], [])[0]
+        return bad, tuple(total)
+
+    # sanity: untampered balances
+    bad, total = balance_and_checks((chain, u256))
+    assert not bad and total == (0, 0)
+
+    # swap the two chain claims' statement-sponge cycle bases
+    forged_chain = chain.copy()
+    forged_chain[0, CH_PERM], forged_chain[1, CH_PERM] = (
+        chain[1, CH_PERM],
+        chain[0, CH_PERM],
+    )
+    bad, total = balance_and_checks((forged_chain, u256))
+    assert bad or total != (0, 0), "cross-claim cycle swap accepted"
+
+    # point a u256 row's operand hashes at the chain's fold cycles
+    forged_u = u256.copy()
+    forged_u[0, U_PERM] = 2  # claim 0's fold cycle id
+    bad, total = balance_and_checks((chain, forged_u))
+    assert bad or total != (0, 0), "u256 cycle retarget accepted"
