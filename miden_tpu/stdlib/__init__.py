@@ -183,3 +183,25 @@ def handle_keccak_hash_memory(processor) -> None:
     msg_node, stmt = keccak_statement_node(message, out_node.digest())
     processor.deferred.register(msg_node)
     processor.deferred.register(stmt)
+
+
+def smt_advice(smt, keys, advice=None):
+    """Installs the advice (Merkle paths + leaf preimages) for
+    ``collections::smt`` reads of ``keys`` against the host ``Smt``
+    (merkle/smt.py). Returns the AdviceProvider."""
+    from ..merkle.nodes import NodeIndex
+    from ..merkle.smt import SMT_DEPTH, smt_leaf_index
+    from ..vm.processor import AdviceProvider
+
+    adv = advice or AdviceProvider()
+    for key in keys:
+        k = tuple(int(v) for v in key)
+        index = smt_leaf_index(k)
+        proof = smt.open(k)
+        leaf_hash = proof.leaf.hash()
+        adv.store.add_merkle_path(index, leaf_hash, proof.path)
+        if proof.leaf.entries:
+            adv.map[tuple(leaf_hash)] = [
+                int(x) for ek, ev in proof.leaf.entries for x in (*ek, *ev)
+            ]
+    return adv
