@@ -142,6 +142,13 @@ def test_tampering_rejected(mutate, only):
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(
+    __import__("os").environ.get("MIDEN_TPU_HEAVY") != "1"
+    and __import__("jax").default_backend() == "cpu",
+    reason="KeccakVarAir's constraint graph takes >25 min to compile on "
+    "the CPU XLA backend (fine on the TPU compile service); run with "
+    "MIDEN_TPU_HEAVY=1 to force",
+)
 def test_prove_verify_1kib_keccak_session_e2e():
     """The stage-3 'done' shape: u256 mul + a 1 KiB keccak claim in one
     session, proven and verified against the deferred root."""
@@ -235,6 +242,11 @@ def test_hash_memory_masm_digest_and_dag():
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(
+    __import__("os").environ.get("MIDEN_TPU_HEAVY") != "1"
+    and __import__("jax").default_backend() == "cpu",
+    reason="kvar session prove is CPU-compile-bound; see above",
+)
 def test_hash_memory_full_loop_e2e():
     """Execute -> main proof -> DAG-discharged session proof -> full
     verification: the complete stage-3 'bound to a main proof' loop."""
