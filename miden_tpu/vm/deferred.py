@@ -608,24 +608,31 @@ class DeferredStateWire:
             return index_to_digest[idx]
 
         for entry in self.entries:
-            if entry.kind == DATA:
-                if entry.tag == TAG_CHUNKS:
-                    node = Node.chunks_node(entry.chunks)
+            try:
+                if entry.kind == DATA:
+                    if entry.tag == TAG_CHUNKS:
+                        node = Node.chunks_node(entry.chunks)
+                    else:
+                        node = Node.data(entry.tag, entry.chunks)
+                elif entry.kind == JOIN:
+                    lhs, rhs = (resolve(i) for i in entry.refs)
+                    if entry.tag == TAG_AND:
+                        node = Node.and_node(lhs, rhs)
+                    else:
+                        node = Node.join(entry.tag, lhs, rhs)
+                elif entry.kind == PAIR_LIST:
+                    node = Node.pair_list(
+                        entry.tag,
+                        [(resolve(l), resolve(r)) for l, r in entry.refs],
+                    )
                 else:
-                    node = Node.data(entry.tag, entry.chunks)
-            elif entry.kind == JOIN:
-                lhs, rhs = (resolve(i) for i in entry.refs)
-                if entry.tag == TAG_AND:
-                    node = Node.and_node(lhs, rhs)
-                else:
-                    node = Node.join(entry.tag, lhs, rhs)
-            elif entry.kind == PAIR_LIST:
-                node = Node.pair_list(
-                    entry.tag,
-                    [(resolve(l), resolve(r)) for l, r in entry.refs],
-                )
-            else:
-                raise IntegrityError("unknown wire entry kind")
+                    raise IntegrityError("unknown wire entry kind")
+            except IntegrityError:
+                raise
+            except DeferredError as e:
+                # malformed entries reject uniformly: callers filter on
+                # IntegrityError (fuzz finding, tests/test_fuzz_decoders)
+                raise IntegrityError(str(e)) from e
             try:
                 shape = registry.decode_node_type(node.tag)
             except DeferredError as e:

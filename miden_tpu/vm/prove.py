@@ -90,6 +90,21 @@ class VmProof:
 
         from ..stark.proof_io import ProofFormatError, proof_from_bytes
 
+        try:
+            return cls._from_bytes(data)
+        except ProofFormatError:
+            raise
+        except (struct.error, IndexError, ValueError) as e:
+            # truncated / corrupt containers reject uniformly
+            # (fuzz finding, tests/test_fuzz_decoders.py)
+            raise ProofFormatError(f"malformed execution proof: {e}") from e
+
+    @classmethod
+    def _from_bytes(cls, data: bytes) -> "VmProof":
+        import struct
+
+        from ..stark.proof_io import ProofFormatError, proof_from_bytes
+
         if data[:4] != cls.MAGIC:
             raise ProofFormatError("bad execution-proof magic")
         (version,) = struct.unpack_from("<I", data, 4)
