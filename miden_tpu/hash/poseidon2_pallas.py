@@ -11,16 +11,24 @@ around it stays in XLA (measured: an in-kernel absorb ``fori_loop`` was
 3× slower than XLA scan + this kernel — loop-carried VMEM state defeats
 Mosaic's vectorizer, while inter-permutation HBM traffic is negligible).
 
-State layout: ``(12, n)`` lane-major, limbs as two uint32 arrays (the same
-packed representation as :mod:`miden_tpu.field.goldilocks`). The 12 state
-lanes live on the sublane axis and every round operates on the whole
-``(12, blk)`` block at once — the external MDS is a circulant, expressed
-as three chunk-local rotations (``pltpu.roll`` + boundary select), and the
-internal-round row sum is a rotation tree. The first kernel generation
-kept 12 separate ``(1, blk)`` rows and unrolled every lane of every round
-in Python: ~150k traced ops per call site, which cost ~70 s of *client-side
-tracing* per call site per process and bloated every enclosing jaxpr.
-Internal rounds run under ``lax.fori_loop`` (one body compiled).
+State layout — the third generation, "lane planes": the caller's ``(12, n)``
+lane-major state is reshaped to ``(12, 8, n/8)`` so each of the 12 state
+lanes becomes a full ``(8, B)`` tile of *batch* elements — exactly the
+native (sublane, lane) vreg shape. Every elementwise op then runs at 100%
+vreg occupancy, and the external MDS matrix becomes *static Python
+indexing* over the 12 plane arrays (pure adds/doublings — no sublane
+rolls, no boundary selects, no masks). The internal-round S-box touches
+only state lane 0, so it costs 1/12 of a full-state S-box — the earlier
+generations S-boxed all 12 lanes and masked 11 away (measured ~3× kernel
+speedup over the second-generation (12, blk) rotation kernel).
+
+Round loops run under ``lax.fori_loop`` with their round constants as
+dynamically-indexed SMEM scalars — one traced external body + one internal
+body instead of 30 unrolled rounds. Client-side tracing of this kernel is
+the dominant first-run cost of the whole prover (each enclosing jit
+re-traces it per batch shape), so traced-op count matters as much as
+runtime: generation one (12 unrolled ``(1, blk)`` rows × 30 unrolled
+rounds) traced ~150k ops and cost ~70 s per call site.
 
 Bit-exactness with the jnp path is inherited from using the exact same
 limb arithmetic (goldilocks fp_add/fp_mul) — field ops are exact, so
@@ -38,11 +46,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..field.goldilocks import Fp, fp_add, fp_double, fp_mul, fp_where
+from ..field.goldilocks import Fp, fp_add, fp_double, fp_mul
 from . import constants as C
 
-# batch lanes per kernel invocation (grid dimension tiles the batch)
-BLOCK = 2048
+# batch columns per kernel invocation: a (12, 8, BLOCK_COLS) block holds
+# 8 * BLOCK_COLS permutation states
+BLOCK_COLS = 512
 
 # On CPU backends (the virtual test mesh) Mosaic cannot compile; run the
 # kernels through the Pallas interpreter so the same code path stays
@@ -63,7 +72,7 @@ def _split_limbs(vals) -> tuple[np.ndarray, np.ndarray]:
 _EXT_LO, _EXT_HI = _split_limbs(
     [C.ARK_EXT_INITIAL[r * 12 : r * 12 + 12] for r in range(4)]
     + [C.ARK_EXT_TERMINAL[r * 12 : r * 12 + 12] for r in range(4)]
-)  # (8, 12)
+)  # (8, 12); transposed to (12, 8) at the call
 _INT_LO, _INT_HI = _split_limbs(C.ARK_INT)  # (22,)
 _DIAG_LO, _DIAG_HI = _split_limbs(C.MAT_DIAG)  # (12,)
 
@@ -75,116 +84,95 @@ def _sbox(x: Fp) -> Fp:
     return fp_mul(x4, x3)
 
 
-def _roll(s: Fp, k: int) -> Fp:
-    """Cyclic rotation on the 12-lane sublane axis: out[i] = s[(i−k) % 12]."""
-    return Fp(pltpu.roll(s.lo, k, axis=0), pltpu.roll(s.hi, k, axis=0))
+def _mds_external(s: list) -> list:
+    """M_E on 12 lane planes: M4 = circ(2,3,1,1) within each 4-chunk, then
+    cross-chunk per-position sums. Row identity (shared subexpressions):
+    ``y_r = (x0+x1+x2+x3) + x_r + 2·x_{(r+1)%4}`` per chunk."""
+    dbl = [fp_double(x) for x in s]
+    out = []
+    for c in range(3):
+        x = s[4 * c : 4 * c + 4]
+        d = dbl[4 * c : 4 * c + 4]
+        total = fp_add(fp_add(x[0], x[1]), fp_add(x[2], x[3]))
+        for r in range(4):
+            out.append(fp_add(total, fp_add(x[r], d[(r + 1) % 4])))
+    sums = [
+        fp_add(fp_add(out[r], out[4 + r]), out[8 + r]) for r in range(4)
+    ]
+    return [fp_add(out[i], sums[i % 4]) for i in range(12)]
 
 
-def _mul_small(x: Fp, k: int) -> Fp:
-    if k == 1:
-        return x
-    if k == 2:
-        return fp_double(x)
-    assert k == 3
-    return fp_add(fp_double(x), x)
-
-
-def _mds_external_v(s: Fp, pos4) -> Fp:
-    """M_E on the whole (12, blk) state.
-
-    M4 = circ(2,3,1,1) within each 4-chunk: out[b+r] = Σ_k c_k·s[b+(r+k)%4],
-    where the chunk-local rotation by k is a global roll fixed up at chunk
-    boundaries. Cross-chunk sums are the rotation identity
-    sums[i] = out[i] + out[i−4] + out[i−8] (mod 12)."""
-
-    def chunk_roll(k: int) -> Fp:
-        a = _roll(s, 12 - k)  # out[i] = s[i+k mod 12]
-        b = _roll(s, 4 - k)  # out[i] = s[i+k−4 mod 12]
-        return fp_where(pos4 < (4 - k), a, b)
-
-    c1 = chunk_roll(1)
-    c2 = chunk_roll(2)
-    c3 = chunk_roll(3)
-    out = fp_add(
-        fp_add(_mul_small(s, 2), _mul_small(c1, 3)), fp_add(c2, c3)
-    )
-    sums = fp_add(fp_add(out, _roll(out, 4)), _roll(out, 8))
-    return fp_add(out, sums)
-
-
-def _sum_rows_v(s: Fp) -> Fp:
-    """(12, blk) → every lane holds Σ_i s[i] (rotation tree)."""
-    t = fp_add(s, _roll(s, 6))  # offsets {0, 6}
-    t = fp_add(t, _roll(t, 3))  # {0, 3, 6, 9}
-    return fp_add(fp_add(t, _roll(t, 1)), _roll(t, 2))  # all 12
-
-
-def _permute_block(s: Fp, pos4, lane0, ext: Fp, intc: Fp, diag: Fp) -> Fp:
-    """All 30 rounds on a (12, blk) state block.
-
-    ``ext``: (12, 8) external round constants (column r = round r);
-    ``intc``: (1, 22) internal round constants (lane-0 additions);
-    ``diag``: (12, 1) internal diagonal."""
-
-    def ext_round(cur: Fp, r: int) -> Fp:
-        rc = Fp(ext.lo[:, r : r + 1], ext.hi[:, r : r + 1])  # (12, 1)
-        return _mds_external_v(_sbox(fp_add(cur, rc)), pos4)
-
-    s = _mds_external_v(s, pos4)
-    for r in range(4):
-        s = ext_round(s, r)
-
-    # unrolled with static constant indices: Mosaic has no dynamic_slice,
-    # and 22 × ~80 traced ops is cheap
-    for r in range(_N_INT):
-        rc = Fp(intc.lo[0, r], intc.hi[0, r])  # scalar; lane 0 only
-        boxed = _sbox(fp_add(s, rc))
-        cur = fp_where(lane0, boxed, s)
-        total = _sum_rows_v(cur)
-        s = fp_add(total, fp_mul(cur, diag))
-
-    for r in range(4, 8):
-        s = ext_round(s, r)
-    return s
+def _sum12(s: list) -> Fp:
+    t = [fp_add(s[i], s[i + 6]) for i in range(6)]
+    u = [fp_add(t[i], t[i + 3]) for i in range(3)]
+    return fp_add(fp_add(u[0], u[1]), u[2])
 
 
 def _permute_kernel(el_ref, eh_ref, il_ref, ih_ref, dl_ref, dh_ref,
                     lo_ref, hi_ref, out_lo_ref, out_hi_ref):
-    pos4 = jax.lax.broadcasted_iota(jnp.uint32, (12, 1), 0) % 4
-    lane0 = jax.lax.broadcasted_iota(jnp.uint32, (12, 1), 0) == 0
-    s = _permute_block(
-        Fp(lo_ref[:], hi_ref[:]),
-        pos4,
-        lane0,
-        Fp(el_ref[:], eh_ref[:]),
-        Fp(il_ref[:], ih_ref[:]),
-        Fp(dl_ref[:], dh_ref[:]),
-    )
-    out_lo_ref[:] = s.lo
-    out_hi_ref[:] = s.hi
+    """All 30 rounds on 12 (8, B) lane planes.
+
+    ``el/eh``: (12, 8) external round constant limbs (SMEM; column r =
+    round r); ``il/ih``: (1, 22) internal round constants (lane-0 only);
+    ``dl/dh``: (12, 1) internal diagonal. All scalars, dynamically indexed
+    by the round loops."""
+    s = tuple(Fp(lo_ref[i], hi_ref[i]) for i in range(12))
+    diag = [Fp(dl_ref[i, 0], dh_ref[i, 0]) for i in range(12)]
+
+    def ext_body(r, cur):
+        boxed = [
+            _sbox(fp_add(x, Fp(el_ref[i, r], eh_ref[i, r])))
+            for i, x in enumerate(cur)
+        ]
+        return tuple(_mds_external(boxed))
+
+    def int_body(r, cur):
+        cur = list(cur)
+        cur[0] = _sbox(fp_add(cur[0], Fp(il_ref[0, r], ih_ref[0, r])))
+        total = _sum12(cur)
+        return tuple(
+            fp_add(total, fp_mul(x, d)) for x, d in zip(cur, diag)
+        )
+
+    s = tuple(_mds_external(list(s)))
+    s = jax.lax.fori_loop(0, 4, ext_body, s)
+    s = jax.lax.fori_loop(0, _N_INT, int_body, s)
+    s = jax.lax.fori_loop(4, 8, ext_body, s)
+    for i in range(12):
+        out_lo_ref[i] = s[i].lo
+        out_hi_ref[i] = s[i].hi
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
-def permute_pallas(state: Fp, block: int = BLOCK) -> Fp:
-    """Batched permutation on ``(12, n)`` states; n must be a multiple of
-    the block size (power-of-two batches are — smaller ones shrink it)."""
+def permute_pallas(state: Fp, block: int = BLOCK_COLS) -> Fp:
+    """Batched permutation on ``(12, n)`` states; n a power-of-two multiple
+    of 8 (smaller batches shrink the block)."""
     n = state.shape[-1]
-    if n < block:
-        block = max(128, n)
-    grid = (n // block,)
-    spec = pl.BlockSpec((12, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    assert n % 8 == 0, "plane layout needs n divisible by 8"
+    n8 = n // 8
+    if n8 < block:
+        block = max(16, n8)
+    grid = (n8 // block,)
+    lo3 = state.lo.reshape(12, 8, n8)
+    hi3 = state.hi.reshape(12, 8, n8)
+    spec = pl.BlockSpec(
+        (12, 8, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
 
-    def cspec(shape):
-        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    def sspec(shape):
+        return pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape),
+            memory_space=pltpu.SMEM,
+        )
 
-    out_shape = jax.ShapeDtypeStruct((12, n), jnp.uint32)
+    out_shape = jax.ShapeDtypeStruct((12, 8, n8), jnp.uint32)
     lo, hi = pl.pallas_call(
         _permute_kernel,
         grid=grid,
         in_specs=[
-            cspec((12, 8)), cspec((12, 8)),
-            cspec((1, _N_INT)), cspec((1, _N_INT)),
-            cspec((12, 1)), cspec((12, 1)),
+            sspec((12, 8)), sspec((12, 8)),
+            sspec((1, _N_INT)), sspec((1, _N_INT)),
+            sspec((12, 1)), sspec((12, 1)),
             spec, spec,
         ],
         out_specs=(spec, spec),
@@ -194,6 +182,6 @@ def permute_pallas(state: Fp, block: int = BLOCK) -> Fp:
         jnp.asarray(_EXT_LO.T), jnp.asarray(_EXT_HI.T),
         jnp.asarray(_INT_LO[None, :]), jnp.asarray(_INT_HI[None, :]),
         jnp.asarray(_DIAG_LO[:, None]), jnp.asarray(_DIAG_HI[:, None]),
-        state.lo, state.hi,
+        lo3, hi3,
     )
-    return Fp(lo, hi)
+    return Fp(lo.reshape(12, n), hi.reshape(12, n))

@@ -21,12 +21,15 @@ import numpy as np
 
 
 def _bench(fn, *args, reps=10):
+    # force completion with a host readback: block_until_ready over the
+    # axon tunnel returns before the device queue drains, which once made
+    # this report dispatch latency as a 5000 Mperm/s "throughput"
     out = fn(*args)
-    out.lo.block_until_ready()
+    np.asarray(out.lo[:1, :1])
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-    out.lo.block_until_ready()
+    np.asarray(out.lo[:1, :1])
     return (time.time() - t0) / reps
 
 
@@ -40,16 +43,16 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
 
-    # Poseidon2: (n, 12) permutations, the leaf-hash shape
-    n = 1 << int(os.environ.get("KM_PERM_LOG_N", "16"))
+    # Poseidon2: (12, n) lane-major permutations, the leaf-hash shape
+    n = 1 << int(os.environ.get("KM_PERM_LOG_N", "18"))
     state = fp_from_u64(
-        rng.integers(0, gl.P, size=(n, 12), dtype=np.uint64)
+        rng.integers(0, gl.P, size=(12, n), dtype=np.uint64)
     )
     dt = _bench(permute_pallas, state)
     print(
         json.dumps(
             {
-                "metric": f"poseidon2_pallas_perms_per_s_{n}x12",
+                "metric": f"poseidon2_pallas_perms_per_s_12x{n}",
                 "value": round(n / dt / 1e6, 2),
                 "unit": "Mperm/s",
             }
