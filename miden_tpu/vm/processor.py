@@ -547,8 +547,11 @@ class Processor:
             if d == 0:
                 raise ExecutionError("ext2inv: division by zero")
             dinv = pow(d, P - 2, P)
-            # push low then high so the high coefficient pops first
-            adv.stack[0:0] = [a1 and (P - a1) * dinv % P, a0 * dinv % P][::-1]
+            # the HIGH coefficient pops first so two ADVPOPs leave the
+            # inverse as [c0, c1] (c0 on top) for the EXT2MUL unit check
+            # (assembler.py _ext2_inv; was reversed — ext2div/ext2inv
+            # asserted on every call until the recursion masm used them)
+            adv.stack[0:0] = [a1 and (P - a1) * dinv % P, a0 * dinv % P]
         elif name == "sys::ilog2":
             if s[1] == 0:
                 raise ExecutionError("ilog2 of zero")
