@@ -26,10 +26,17 @@ from .mast import Program
 from .processor import AdviceProvider, ExecutionOutput, StackInputs
 from .trace import execute_and_trace
 
-# Fiat–Shamir domain separator for the VM protocol (the analog of the
-# reference's RELATION_DIGEST seeding, air/src/config.rs:93): binds proofs
-# to this constraint system version.
-PROTOCOL_SEED = [0x6D69_6465, 0x6E2D_7470, 0x752D_766D, 0x0000_0001]
+# Fiat–Shamir seed for the VM protocol: the relation digest
+# Poseidon2([PROTOCOL_ID || ACE registry root]) — the analog of the
+# reference's RELATION_DIGEST seeding (air/src/config.rs:89-108). Binds
+# every proof to the committed constraint system: tamper with any VM
+# constraint (and thus any registry circuit) and the seed moves, so
+# proofs against the old relation stop verifying. Computed lazily (the
+# registry generates the ACE circuits from the live AIRs on first use).
+def protocol_seed() -> list:
+    from .ace_registry import relation_seed
+
+    return list(relation_seed())
 
 
 @dataclass
@@ -260,7 +267,7 @@ def prove_program(
         params,
         statement,
         [trace.matrix, trace.chiplets, trace.poseidon],
-        DuplexChallenger(PROTOCOL_SEED),
+        DuplexChallenger(protocol_seed()),
     )
     wire = None
     if out.deferred_state is not None and any(trace.deferred_root):
@@ -348,7 +355,7 @@ def verify_program(
     from ..transcript.challenger import TranscriptError
 
     try:
-        verify(params, statement, proof.stark, DuplexChallenger(PROTOCOL_SEED))
+        verify(params, statement, proof.stark, DuplexChallenger(protocol_seed()))
     except TranscriptError as e:
         # transcript desync (e.g. a tampered public claim diverges the
         # Fiat–Shamir replay) is a verification failure, one error type
