@@ -105,12 +105,25 @@ def handle_keccak_merge(processor) -> None:
 
     nodes = [u256_value_node(x) for x in (a, b, out)]
     for node in nodes:
-        processor.deferred.register(node)
-    processor.deferred.register(
+        _register(processor, node)
+    _register(
+        processor,
         binop_statement_node(
             PID_KECCAK_MERGE, *(n.digest() for n in nodes)
-        )
+        ),
     )
+
+
+def _register(processor, node) -> None:
+    """deferred.register with rejected claims surfaced as ExecutionError —
+    DeferredError is a bare ValueError subclass, and callers of the event
+    handlers catch ExecutionError."""
+    from ..vm.deferred import DeferredError
+
+    try:
+        processor.deferred.register(node)
+    except DeferredError as exc:
+        raise ExecutionError(f"deferred claim rejected: {exc}") from exc
 
 
 def stdlib_event_handlers() -> dict[int, object]:
@@ -136,6 +149,7 @@ def handle_keccak_hash_memory(processor) -> None:
     the deferred DAG."""
     from ..hash.keccak_host import keccak256
     from ..vm.deferred import (
+        MAX_WIRE_BYTES,
         Node,
         keccak_message_chunks,
         keccak_statement_node,
@@ -143,6 +157,15 @@ def handle_keccak_hash_memory(processor) -> None:
 
     s = processor.stack
     ptr, length = int(s[1]), int(s[2])
+    # Bound the untrusted length BEFORE the read loop: a hostile program
+    # could otherwise stall the host executor with 40*(length//136+1)
+    # memory reads; the masm-side u32 check and the precompile decode's
+    # wire cap only fire later.
+    if length >= MAX_WIRE_BYTES:
+        raise ExecutionError(
+            f"keccak256::hash_memory: length {length} exceeds the "
+            f"deferred wire budget ({MAX_WIRE_BYTES})"
+        )
     n_blocks = length // 136 + 1
     limbs = []
     for i in range(40 * n_blocks):
@@ -179,10 +202,10 @@ def handle_keccak_hash_memory(processor) -> None:
     processor.advice.stack[0:0] = list(reversed(dlimbs))
 
     out_node = Node.chunks_from_bytes(digest)
-    processor.deferred.register(out_node)
+    _register(processor, out_node)
     msg_node, stmt = keccak_statement_node(message, out_node.digest())
-    processor.deferred.register(msg_node)
-    processor.deferred.register(stmt)
+    _register(processor, msg_node)
+    _register(processor, stmt)
 
 
 def smt_advice(smt, keys, advice=None):

@@ -117,3 +117,41 @@ def test_vm_proof_decoder_survives_mutations():
             VmProof.from_bytes(mut)
         except ProofFormatError:
             pass  # the only acceptable failure mode
+
+
+def test_vm_proof_decoder_survives_real_proof_mutations():
+    """Mutate a REAL serialized proof (TEST_PARAMS, with a deferred wire)
+    so the transcript boundary and the deferred_wire length field get
+    mutation coverage — the synthetic all-zero header above never
+    exercises n_wire > 0 against truncated transcript bytes."""
+    from miden_tpu.stark.proof_io import ProofFormatError
+    from miden_tpu.stark.params import TEST_PARAMS
+    from miden_tpu.stdlib import assemble_with_stdlib, stdlib_event_handlers
+    from miden_tpu.vm.prove import VmProof, prove_program
+
+    src = (
+        "use miden::core::crypto::hashes::keccak256\n"
+        "begin exec.keccak256::merge dropw dropw end"
+    )
+    prog = assemble_with_stdlib(src)
+    _out, proof = prove_program(
+        prog,
+        stack_inputs=[3, 0, 0, 0, 0, 0, 0, 0, 5, 0, 0, 0, 0, 0, 0, 0],
+        params=TEST_PARAMS,
+        event_handlers=stdlib_event_handlers(),
+    )
+    blob = proof.to_bytes()
+    assert proof.deferred_wire, "fixture must carry a deferred wire"
+
+    roundtrip = VmProof.from_bytes(blob)
+    assert roundtrip.to_bytes() == blob
+
+    rng = random.Random(0xFEED)
+    ok = 0
+    for mut in _mutations(rng, blob):
+        try:
+            VmProof.from_bytes(mut)
+            ok += 1
+        except ProofFormatError:
+            pass  # the only acceptable failure mode
+    assert ok >= 1  # the unmutated baseline round-trips
