@@ -201,7 +201,21 @@ def prove_fused(params, statement, traces, challenger, preprocessed=None):
         nonlocal state, ibuf, obuf_n
         fn, meta = _phase((skey, name), obuf_n, body)
         with span(f"fused phase: {name}"):
-            out, ents, flags, state, ibuf = fn(state, ibuf, args)
+            # the remote compile service (axon tunnel) intermittently drops
+            # connections on large-phase compiles ("response body closed",
+            # HTTP 500); the compile itself is deterministic, so retry —
+            # a transient drop must not void a long bench sweep
+            for attempt in range(3):
+                try:
+                    out, ents, flags, state, ibuf = fn(state, ibuf, args)
+                    break
+                except jax.errors.JaxRuntimeError as exc:
+                    transient = "remote_compile" in str(exc)
+                    if not transient or attempt == 2:
+                        raise
+                    import time as _time
+
+                    _time.sleep(5.0 * (attempt + 1))
         entries.extend(zip(meta["kinds"], ents))
         checks.extend(zip(meta["labels"], flags))
         obuf_n = meta["obuf_n_out"]
@@ -256,10 +270,23 @@ def prove_fused(params, statement, traces, challenger, preprocessed=None):
         return tree
 
     def body_tree(ch, args):
+        # return ONLY the digest layers: a jitted phase copies every output
+        # buffer, so returning the whole tree held the 4 GB of LDE matrices
+        # TWICE at 2^20 (9.1 GB live at phase exit — OOMed the auxbuild
+        # executable load); the host-side LmcsTree below aliases the
+        # original LDE buffers instead
         ldes = list(args)
         tree = lmcs.build_tree(ldes, hash=hash_cfg)
         ch.send_commitment(tree.root_dev())
-        return tree
+        return tuple(tree.layers)
+
+    def _tree_from(ldes, layers) -> lmcs.LmcsTree:
+        return lmcs.LmcsTree(
+            matrices=list(ldes),
+            heights=[m.shape[0] for m in ldes],
+            widths=[m.shape[1] for m in ldes],
+            layers=list(layers),
+        )
 
     pp_root = preprocessed.tree.root_dev() if preprocessed is not None else None
     if fine:
@@ -268,11 +295,8 @@ def prove_fused(params, statement, traces, challenger, preprocessed=None):
             run(f"lde{k}", _lde_one, (traces_fp[i],))
             for k, i in enumerate(order)
         ]
-        main_tree = run("mtree", body_tree, tuple(main_ldes))
-        # jit outputs are fresh buffers: the tree holds copies of the LDE
-        # matrices, so the phase-local originals must be dropped or the
-        # biggest arrays are held twice (OOMs the chip at 2^20)
-        del main_ldes
+        main_layers = run("mtree", body_tree, tuple(main_ldes))
+        main_tree = _tree_from(main_ldes, main_layers)
     else:
         main_tree = run("main", body_main, (traces_fp, pp_root))
 
@@ -345,7 +369,7 @@ def prove_fused(params, statement, traces, challenger, preprocessed=None):
         return tuple(aux_values), alpha, beta
 
     def body_tree_nosend(ch, args):
-        return lmcs.build_tree(list(args), hash=hash_cfg)
+        return tuple(lmcs.build_tree(list(args), hash=hash_cfg).layers)
 
     if fine:
         aux_flat_inst, aux_values_inst, rand_d = run(
@@ -355,8 +379,9 @@ def prove_fused(params, statement, traces, challenger, preprocessed=None):
             run(f"auxlde{k}", _lde_one, (aux_flat_inst[i],))
             for k, i in enumerate(order)
         ]
-        aux_tree = run("auxtree", body_tree_nosend, tuple(aux_ldes))
-        del aux_ldes, aux_flat_inst  # see main_ldes note
+        aux_layers = run("auxtree", body_tree_nosend, tuple(aux_ldes))
+        aux_tree = _tree_from(aux_ldes, aux_layers)
+        del aux_flat_inst  # pre-LDE aux traces are no longer needed
         aux_values, alpha, beta = run(
             "auxfinish", body_auxfinish, (aux_tree, aux_values_inst)
         )
@@ -442,6 +467,10 @@ def prove_fused(params, statement, traces, challenger, preprocessed=None):
             return qtree, z
 
         quotient_tree, z = run("qcommit", body_qcommit, (acc,))
+        # nothing below reads the pre-LDE traces or the quotient
+        # accumulator; at 2^20 every freed buffer matters (the committed
+        # trees alone hold ~7.5 GB through the DEEP/FRI phases)
+        del acc, traces_fp, pub_d, rand_d
     else:
         quotient_tree, z = run(
             "quotient",
@@ -458,21 +487,79 @@ def prove_fused(params, statement, traces, challenger, preprocessed=None):
         quotient_tree,
     ]
 
+    # Coset point tables for the claims/DEEP phases, computed eagerly ONCE
+    # and threaded through the phase arguments: captured concrete tables
+    # become multi-MB MLIR constants (compile-wall bloat; materializing
+    # them OOMed the 2^20 claims phase — see pcs._bary_weights_dev).
+    pts_keys = sorted(
+        {
+            (h.bit_length() - 1, gl.canonical_lde_shift(h.bit_length() - 1))
+            for t in input_trees
+            for h in t.heights
+        }
+        | {(max_domain.log_lde_height, max_domain.lde_shift % gl.P)}
+    )
+    pts_tables = tuple(pcs.coset_points(*k) for k in pts_keys)
+
     def body_claims(ch, args):
-        trees, z = args
+        trees, z, tables = args
+        points = dict(zip(pts_keys, tables))
         z_next = fp2_mul_base(z, fp_const(max_domain.trace_generator))
         zs = [z, z_next]
-        claims = pcs.compute_deep_claims(list(trees), zs)
+        claims = pcs.compute_deep_claims(list(trees), zs, points=points)
         from ..field.goldilocks import fp2_concat
 
         for per_tree in claims.evals:
             ch.send_ext_slice(fp2_concat(per_tree, axis=0))
         return tuple(tuple(pt) for pt in claims.evals), tuple(zs)
 
-    claim_evals, zs = run("claims", body_claims, (tuple(input_trees), z))
+    if fine:
+        # One claims phase PER TREE: inside a single phase XLA schedules
+        # the per-matrix barycentric evals concurrently (no data deps),
+        # stacking several multi-100 MB chunk temporaries while the
+        # committed trees already hold ~7.5 GB — OOMed the chip at 2^20.
+        # Separate phases serialize by construction.
+        per_tree_evals = []
+        zs = None
+        for t_i, tree in enumerate(input_trees):
+            def body_claims_one(ch, args):
+                tree_, z, tables = args
+                points = dict(zip(pts_keys, tables))
+                z_next = fp2_mul_base(
+                    z, fp_const(max_domain.trace_generator)
+                )
+                zs_l = [z, z_next]
+                claims = pcs.compute_deep_claims(
+                    [tree_], zs_l, points=points,
+                    max_height=max_domain.lde_height,
+                )
+                return (claims.evals[0][0], claims.evals[1][0]), tuple(zs_l)
+
+            pair, zs = run(
+                f"claims{t_i}", body_claims_one, (tree, z, pts_tables)
+            )
+            per_tree_evals.append(pair)
+
+        def body_claims_send(ch, args):
+            (pairs,) = args
+            evals = [[pt[p] for pt in pairs] for p in range(2)]
+            from ..field.goldilocks import fp2_concat
+
+            for per_t in evals:
+                ch.send_ext_slice(fp2_concat(per_t, axis=0))
+            return tuple(tuple(pt) for pt in evals)
+
+        claim_evals = run(
+            "claimsend", body_claims_send, (tuple(per_tree_evals),)
+        )
+    else:
+        claim_evals, zs = run(
+            "claims", body_claims, (tuple(input_trees), z, pts_tables)
+        )
 
     def body_deep(ch, args):
-        trees, claim_evals, zs = args
+        trees, claim_evals, zs, tables = args
+        points = dict(zip(pts_keys, tables))
         claims = pcs.DeepClaims(
             evals=[list(pt) for pt in claim_evals],
             aligned_widths=[
@@ -483,11 +570,14 @@ def prove_fused(params, statement, traces, challenger, preprocessed=None):
         alpha = ch.sample_ext()
         beta = ch.sample_ext()
         deep_evals = pcs.deep_compose(
-            max_domain, list(trees), claims, list(zs), alpha, beta
+            max_domain, list(trees), claims, list(zs), alpha, beta,
+            points=points,
         )
         return deep_evals, pcs.fri_x_inv_init(params, max_domain)
 
-    cur, x_inv = run("deep", body_deep, (tuple(input_trees), claim_evals, zs))
+    cur, x_inv = run(
+        "deep", body_deep, (tuple(input_trees), claim_evals, zs, pts_tables)
+    )
 
     n_rounds = pcs.fri_num_rounds(params, max_domain)
     fri_trees = []

@@ -98,16 +98,19 @@ def _bconst(c: int, shape) -> Fp:
 
 
 @_partial(_jax.jit, static_argnums=(0, 1, 2))
-def _bary_weights_dev(log_m: int, shift: int, log_lift: int, z: Fp2):
+def _bary_weights_dev(log_m: int, shift: int, log_lift: int, z: Fp2, pts: Fp):
     """Shared barycentric factors for one (height, lift, point): the weight
     column ``x_i/(z_l − x_i)`` and the scalar scale ``(z_l^m − s^m)/(m·s^m)``.
 
     Split out of the per-matrix evaluation so matrices of the same height
     (across trees) reuse ONE inverse/weight graph — the Fermat-inverse scan
-    and weight multiplies dominate the compiled size of the claims phase."""
+    and weight multiplies dominate the compiled size of the claims phase.
+    ``pts`` is the coset point table (passed as an argument: a concrete
+    table captured by a trace becomes a multi-MB MLIR *constant* in every
+    enclosing fused-phase graph — slow uploads, and materializing it while
+    HBM is nearly full OOMed the 2^20 claims phase)."""
     z_l = fp2_exp_power_of_2(z, log_lift)
     m = 1 << log_m
-    pts = coset_points(log_m, shift)
     zb = fp2_broadcast_to(z_l, (m,))
     denom = fp2_sub(zb, Fp2(pts, fp_sub(pts, pts)))
     weights = fp2_mul_base(fp2_inv(denom), pts)  # x_i / (z_l - x_i)
@@ -128,7 +131,10 @@ _ROW_CHUNK_ABOVE = 1 << 22
 
 
 def _row_chunks(m: int) -> int:
-    return 1 << 3  # 8 sequential chunks bounds peak temps to m/8 rows
+    # chunk to ~2^18-row slices: a (m, w) extension product at 2^23x51 is
+    # ~850 MB per temp with only 8 chunks, and the claims/DEEP phases run
+    # while the committed trees already hold most of HBM (2^20 OOM)
+    return max(8, m >> 18)
 
 
 @_jax.jit
@@ -160,10 +166,12 @@ def _weighted_eval_dev(weights: Fp2, scale: Fp2, matrix: Fp) -> Fp2:
 
 
 @_partial(_jax.jit, static_argnums=(0, 1, 2))
-def _eval_columns_dev(log_m: int, shift: int, log_lift: int, matrix: Fp, z: Fp2) -> Fp2:
+def _eval_columns_dev(
+    log_m: int, shift: int, log_lift: int, matrix: Fp, z: Fp2, pts: Fp
+) -> Fp2:
     """Evaluate every column polynomial of ``matrix`` (natural-order evals
     over shift·K) at ``z^{2^log_lift}``. Returns Fp2 (w,)."""
-    weights, scale = _bary_weights_dev(log_m, shift, log_lift, z)
+    weights, scale = _bary_weights_dev(log_m, shift, log_lift, z, pts)
     return _weighted_eval_dev(weights, scale, matrix)
 
 
@@ -174,7 +182,8 @@ def eval_columns_at(matrix: Fp, shift: int, z) -> list:
 
     m, _w = matrix.shape
     vals = _eval_columns_dev(
-        m.bit_length() - 1, shift, 0, matrix, _ext_scalar(tuple(z))
+        m.bit_length() - 1, shift, 0, matrix, _ext_scalar(tuple(z)),
+        coset_points(m.bit_length() - 1, shift),
     )
     return [tuple(int(x) for x in p) for p in fp2_to_pairs_u64(vals)]
 
@@ -193,7 +202,9 @@ class DeepClaims:
     aligned_widths: list  # [tree][matrix] -> aligned width
 
 
-def compute_deep_claims(trees: list, zs: list) -> DeepClaims:
+def compute_deep_claims(
+    trees: list, zs: list, points=None, max_height=None
+) -> DeepClaims:
     """Evaluate all committed columns of all trees at each opening point
     (device; one dispatch per (matrix, point), all asynchronous).
 
@@ -216,8 +227,13 @@ def compute_deep_claims(trees: list, zs: list) -> DeepClaims:
                     continue
                 lift = max_h // h
                 shift = gl.canonical_lde_shift(h.bit_length() - 1)
+                key = (h.bit_length() - 1, shift % gl.P)
+                pts = (points or {}).get(key)
+                if pts is None:
+                    pts = coset_points(*key)
                 vals = _eval_columns_dev(
-                    h.bit_length() - 1, shift, lift.bit_length() - 1, matrix, z
+                    h.bit_length() - 1, shift, lift.bit_length() - 1, matrix,
+                    z, pts,
                 )
                 if aw > w:
                     vals = fp2_concat([vals, fp2_zeros((aw - w,))], axis=0)
@@ -241,6 +257,7 @@ def deep_compose(
     zs: list,
     alpha: Fp2,
     beta: Fp2,
+    points=None,
 ) -> Fp2:
     """Build the DEEP quotient evaluations over the max LDE domain (natural
     order): ``Q(x) = Σ_j β^j·(f_red(z_j) − f_red(x))·1/(z_j − x)``.
@@ -285,8 +302,13 @@ def deep_compose(
         Fp(jnp.stack([z.c1.lo for z in zs]), jnp.stack([z.c1.hi for z in zs])),
     )
     bpows = fp2_powers(beta, len(zs))
+    key = (domain.log_lde_height, domain.lde_shift % gl.P)
+    pts = (points or {}).get(key)
+    if pts is None:
+        pts = coset_points(*key)
     return _deep_compose_dev(
-        domain, tuple(matrices), tuple(coeff_arrays), f_red_z, zs_arr, bpows
+        domain, tuple(matrices), tuple(coeff_arrays), f_red_z, zs_arr, bpows,
+        pts,
     )
 
 
@@ -298,6 +320,7 @@ def _deep_compose_dev(
     f_red_zs: Fp2,
     zs: Fp2,
     bpows: Fp2,
+    pts: Fp,
 ) -> Fp2:
     big_n = domain.lde_height
     f_red = None
@@ -324,7 +347,6 @@ def _deep_compose_dev(
         part = fp2_tile(part, big_n // h)
         f_red = part if f_red is None else fp2_add(f_red, part)
 
-    pts = coset_points(domain.log_lde_height, domain.lde_shift)
     zero = fp_sub(pts, pts)
     acc = None
     for j in range(zs.shape[0]):
