@@ -136,10 +136,14 @@ def permute(state: Fp) -> Fp:
 def _use_pallas(n: int) -> bool:
     """Route large batches through the Pallas permutation kernel on TPU
     backends (the jnp scan stages every round through HBM; the kernel keeps
-    all 30 rounds in VMEM — measured 3.2× on a v5e chip). The sponge /
+    all 30 rounds in VMEM — measured 3.8× on a v5e chip). The sponge /
     Merkle-layer choreography around the permutation stays in XLA: its HBM
-    traffic between permutations is negligible next to the rounds'."""
-    return n >= 256 and (n & (n - 1)) == 0 and jax.default_backend() != "cpu"
+    traffic between permutations is negligible next to the rounds'.
+
+    The floor is 1024: the kernel's in-VMEM lane-plane reshape needs a
+    full 128-lane minor dim per 8-sublane plane (Mosaic rejects the shape
+    cast below that), and sub-1024 batches are top-of-tree noise."""
+    return n >= 1024 and (n & (n - 1)) == 0 and jax.default_backend() != "cpu"
 
 
 def hash_blocks(blocks: Fp) -> Fp:

@@ -112,11 +112,21 @@ def _permute_kernel(el_ref, eh_ref, il_ref, ih_ref, dl_ref, dh_ref,
                     lo_ref, hi_ref, out_lo_ref, out_hi_ref):
     """All 30 rounds on 12 (8, B) lane planes.
 
+    The (12, blk) VMEM block is reshaped to lane planes INSIDE the
+    kernel: a host-level reshape changes the (8, 128) tiling of the HBM
+    arrays, so XLA materialized full relayout copies of every state
+    array around each permute call — gigabytes of extra executable
+    temp space per commit phase at 2^20 (the per-process accumulation
+    of those reservations exhausted the chip).
+
     ``el/eh``: (12, 8) external round constant limbs (SMEM; column r =
     round r); ``il/ih``: (1, 22) internal round constants (lane-0 only);
     ``dl/dh``: (12, 1) internal diagonal. All scalars, dynamically indexed
     by the round loops."""
-    s = tuple(Fp(lo_ref[i], hi_ref[i]) for i in range(12))
+    blk8 = lo_ref.shape[1] // 8
+    lo3 = lo_ref[:].reshape(12, 8, blk8)
+    hi3 = hi_ref[:].reshape(12, 8, blk8)
+    s = tuple(Fp(lo3[i], hi3[i]) for i in range(12))
     diag = [Fp(dl_ref[i, 0], dh_ref[i, 0]) for i in range(12)]
 
     def ext_body(r, cur):
@@ -138,25 +148,23 @@ def _permute_kernel(el_ref, eh_ref, il_ref, ih_ref, dl_ref, dh_ref,
     s = jax.lax.fori_loop(0, 4, ext_body, s)
     s = jax.lax.fori_loop(0, _N_INT, int_body, s)
     s = jax.lax.fori_loop(4, 8, ext_body, s)
-    for i in range(12):
-        out_lo_ref[i] = s[i].lo
-        out_hi_ref[i] = s[i].hi
+    out_lo_ref[:] = jnp.stack([x.lo for x in s]).reshape(12, 8 * blk8)
+    out_hi_ref[:] = jnp.stack([x.hi for x in s]).reshape(12, 8 * blk8)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
-def permute_pallas(state: Fp, block: int = BLOCK_COLS) -> Fp:
+def permute_pallas(state: Fp, block: int = 8 * BLOCK_COLS) -> Fp:
     """Batched permutation on ``(12, n)`` states; n a power-of-two multiple
-    of 8 (smaller batches shrink the block)."""
+    of 8 (smaller batches shrink the block). The lane-plane view happens
+    inside the kernel — inputs/outputs keep the caller's (12, n) layout
+    so no HBM relayout copies are materialized around the call."""
     n = state.shape[-1]
-    assert n % 8 == 0, "plane layout needs n divisible by 8"
-    n8 = n // 8
-    if n8 < block:
-        block = max(16, n8)
-    grid = (n8 // block,)
-    lo3 = state.lo.reshape(12, 8, n8)
-    hi3 = state.hi.reshape(12, 8, n8)
+    assert n % 1024 == 0, "plane layout needs 128-lane planes (n % 1024 == 0)"
+    if n < block:
+        block = max(1024, n)
+    grid = (n // block,)
     spec = pl.BlockSpec(
-        (12, 8, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        (12, block), lambda i: (0, i), memory_space=pltpu.VMEM
     )
 
     def sspec(shape):
@@ -165,7 +173,7 @@ def permute_pallas(state: Fp, block: int = BLOCK_COLS) -> Fp:
             memory_space=pltpu.SMEM,
         )
 
-    out_shape = jax.ShapeDtypeStruct((12, 8, n8), jnp.uint32)
+    out_shape = jax.ShapeDtypeStruct((12, n), jnp.uint32)
     lo, hi = pl.pallas_call(
         _permute_kernel,
         grid=grid,
@@ -182,6 +190,6 @@ def permute_pallas(state: Fp, block: int = BLOCK_COLS) -> Fp:
         jnp.asarray(_EXT_LO.T), jnp.asarray(_EXT_HI.T),
         jnp.asarray(_INT_LO[None, :]), jnp.asarray(_INT_HI[None, :]),
         jnp.asarray(_DIAG_LO[:, None]), jnp.asarray(_DIAG_HI[:, None]),
-        lo3, hi3,
+        state.lo, state.hi,
     )
-    return Fp(lo.reshape(12, n), hi.reshape(12, n))
+    return Fp(lo, hi)

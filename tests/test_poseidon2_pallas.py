@@ -19,8 +19,8 @@ P = (1 << 64) - (1 << 32) + 1
 
 @pytest.mark.slow
 def test_permute_pallas_matches_host():
-    states = np.random.default_rng(7).integers(0, P, (12, 256), dtype=np.uint64)
-    out = fp_to_u64(pp.permute_pallas(fp_from_u64(states), 128))
-    for j in (0, 17, 255):
+    states = np.random.default_rng(7).integers(0, P, (12, 1024), dtype=np.uint64)
+    out = fp_to_u64(pp.permute_pallas(fp_from_u64(states), 1024))
+    for j in (0, 17, 1023):
         exp = hp.permute([int(v) for v in states[:, j]])
         assert [int(v) for v in out[:, j]] == exp
