@@ -75,12 +75,6 @@ def use_fused(statement) -> bool:
     env = os.environ.get("MIDEN_TPU_FUSED", "")
     if env == "0":
         return False
-    from ..dist.context import active_mesh
-
-    if active_mesh() is not None:
-        # the sharded prover (dist/prover.py) drives the eager path with
-        # its own explicitly-sharded kernels
-        return False
     from .air import aux_on_device_now
 
     airs = statement.multi_air.airs
@@ -181,11 +175,34 @@ def prove_fused(params, statement, traces, challenger, preprocessed=None):
     max_rand = max((a.num_randomness for a in airs), default=0)
     pp_for_air = preprocessed.trace_index_for_air() if preprocessed else {}
 
+    # Mesh path: shard the trace-row inputs; the commit bodies route to the
+    # explicitly-sharded NTT/Merkle twins (context hook, read at trace
+    # time) and every other phase partitions under GSPMD from the sharded
+    # inputs. Transcript state stays replicated. Same 10-phase structure,
+    # bit-identical transcript (tests/test_dist.py pins it).
+    from ..dist.context import active_mesh
+
+    mesh = active_mesh()
+    if mesh is not None:
+        from ..dist.mesh import replicate, shard_rows
+
+        d = mesh.devices.size
+        traces_fp = tuple(
+            shard_rows(t, mesh)
+            if t.shape[0] % d == 0 and t.shape[0] // d >= 2 and t.shape[1]
+            else t
+            for t in traces_fp
+        )
+        pub_d = replicate(pub_d, mesh)
+
     skey = (
         _statement_token(statement),
         params,
         tuple(log_heights),
         preprocessed is not None,
+        None
+        if mesh is None
+        else tuple(int(dv.id) for dv in mesh.devices.flat),
     )
 
     # --- driver state ------------------------------------------------------

@@ -69,6 +69,7 @@ def test_registry_paths_authenticate():
         assert tuple(node) == root
 
 
+@pytest.mark.slow
 def test_relation_seed_binds_proofs():
     """A proof produced under a different (tampered) relation seed must
     not verify — the FS binding at work."""

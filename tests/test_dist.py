@@ -110,3 +110,39 @@ def test_coset_lde_sharded_nested_shift():
     want = fp_to_u64(ntt.coset_lde(evals, 2, s_out, shift_in=s_in))
     got = fp_to_u64(coset_lde_sharded(evals, 2, s_out, mesh, shift_in=s_in))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@requires_mesh
+@pytest.mark.slow
+def test_fused_sharded_bit_identical():
+    """The FUSED prover under the 8-device mesh == single-device fused,
+    byte for byte (VERDICT round-4 ask #7: the 10-phase structure must
+    survive sharding). The shaped 3-AIR statement exercises mixed-height
+    lifting, device-aux LogUp and the sharded commit twins inside the
+    phase jits."""
+    import os
+
+    from miden_tpu.bench_airs import miden_shaped_statement
+    from miden_tpu.dist.prover import prove_sharded
+    from miden_tpu.stark.params import TEST_PARAMS
+    from miden_tpu.stark.prover import Statement, prove
+    from miden_tpu.stark.verifier import verify
+    from miden_tpu.transcript.challenger import DuplexChallenger
+
+    SEED = [11, 22, 33, 44]
+    statement, traces = miden_shaped_statement(6)
+    mesh = make_mesh(8)
+    os.environ["MIDEN_TPU_FUSED"] = "1"
+    try:
+        out_s = prove_sharded(
+            TEST_PARAMS, statement, traces, DuplexChallenger(SEED), mesh
+        )
+        out_1 = prove(TEST_PARAMS, statement, traces, DuplexChallenger(SEED))
+    finally:
+        os.environ.pop("MIDEN_TPU_FUSED", None)
+
+    assert out_s.digest == out_1.digest
+    assert out_s.proof.data.fields == out_1.proof.data.fields
+    assert out_s.proof.data.commitments == out_1.proof.data.commitments
+    statement2, _ = miden_shaped_statement(6)
+    verify(TEST_PARAMS, statement2, out_s.proof, DuplexChallenger(SEED))

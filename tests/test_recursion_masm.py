@@ -183,6 +183,7 @@ def fixture():
     return fx
 
 
+@pytest.mark.slow
 def test_sample_ood_point_matches_host(fixture):
     """Replay the coin to the OOD sampling point is heavy; instead check
     the masm rejection predicate accepts the real z and rejects domain
@@ -199,6 +200,7 @@ def test_sample_ood_point_matches_host(fixture):
     assert zk != (1, 0)
 
 
+@pytest.mark.slow
 def test_fri_verify_query_on_real_proof(fixture):
     """The fold chain + final-poly identity for every sampled query of a
     real proof, layer records staged directly (transcript replay is the
@@ -328,6 +330,7 @@ def _flatten_advice(fx, n_airs):
     return adv
 
 
+@pytest.mark.slow
 def test_deep_fri_full_transcript_replay(fixture):
     """THE mid-tower headline: full in-VM Fiat-Shamir replay of a real
     proof — statement binding, commitment observation, every challenge
