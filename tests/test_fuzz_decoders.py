@@ -119,6 +119,7 @@ def test_vm_proof_decoder_survives_mutations():
             pass  # the only acceptable failure mode
 
 
+@pytest.mark.slow
 def test_vm_proof_decoder_survives_real_proof_mutations():
     """Mutate a REAL serialized proof (TEST_PARAMS, with a deferred wire)
     so the transcript boundary and the deferred_wire length field get

@@ -108,6 +108,7 @@ def test_var_trace_digests_match_host():
         assert got == cl.out, f"cycle {cyc} digest mismatch"
 
 
+@pytest.mark.slow
 def test_mixed_four_kind_session_satisfies_and_balances():
     tr = build_session_traces(MIXED)
     assert tr.root == deferred_root_for(MIXED)

@@ -207,6 +207,7 @@ def test_prove_verify_mul_session_e2e():
     verify_deferred(proof, deferred_root_for(claims), params=TEST_PARAMS)
 
 
+@pytest.mark.slow
 def test_permuted_perm_cycle_ids_rejected():
     """Adversarial: swapping permutation-cycle ids across claims (so a
     chiplet wires its hashes to the other claim's Poseidon2 cycles) must

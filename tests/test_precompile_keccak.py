@@ -77,6 +77,7 @@ def test_keccak_trace_matches_host_digest():
         assert row0[K_A0 + 512] == 1 and row0[K_A0 + 1087] == 1
 
 
+@pytest.mark.slow
 def test_mixed_session_airs_satisfy_constraints_and_balance():
     chain, u256, rng, perm, root, keccak = build_session_traces(MIXED)
     assert keccak is not None

@@ -69,6 +69,7 @@ def test_preprocessed_roundtrip():
     assert digest == out.digest
 
 
+@pytest.mark.slow
 def test_preprocessed_wrong_commitment_rejected():
     st = _st()
     pp = build_preprocessed(st, TEST_PARAMS)
