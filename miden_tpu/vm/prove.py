@@ -157,10 +157,14 @@ class VmMultiAir(MultiAir):
     docs kernel_rom.md) must sum to zero — the STARK analog of
     MidenMultiAir::eval_external (air/src/lib.rs)."""
 
-    #: fused prover: fine phase split from 2^17 (the real VM AIR set is
-    #: wider than the shaped bench; coarse phases OOM the chip at 2^18 —
-    #: judge-reproduced RESOURCE_EXHAUSTED, VERDICT round 3 weak #7)
-    fused_fine_log_h = 17
+    #: fused prover: fine phase split from 2^19, same as the shaped
+    #: statement. Rounds 3-4 forced 2^17 because the coarse phases OOMed
+    #: the chip at 2^18 for this wider AIR set; the round-5 memory fixes
+    #: (tree-matrix aliasing, per-tree claims phases, threaded point
+    #: tables, in-kernel lane-plane reshape) reclaim ~5 GB of HBM and the
+    #: coarse structure fits again — measured 21.3 s -> (see BENCHLOG)
+    #: for the 2^18 real-program row.
+    fused_fine_log_h = 19
 
     def __init__(self, airs, kernel_digests=(), deferred_root=(0, 0, 0, 0)):
         super().__init__(airs)
