@@ -61,6 +61,8 @@ PID_U256_ADD = 3
 PID_KECCAK_MERGE = 4
 PID_U256_MUL = 5
 PID_KECCAK256 = 6
+PID_EC_ADD = 7
+PID_EC_MUL = 8
 
 
 class DeferredError(ValueError):
@@ -759,6 +761,32 @@ def u256_value_node(x: int) -> Node:
     return Node.chunks_from_bytes(x.to_bytes(32, "little"))
 
 
+def ec_point_node(x: int, y: int) -> Node:
+    """CHUNKS node of an affine secp256k1 point's 64 little-endian bytes
+    (x || y, two chunks of 8 packed-u32 limbs each); its digest is the
+    two-absorb sponge the EC session chiplet re-derives
+    (precompile/ec.py). The pair (0, 0) is the point-at-infinity
+    sentinel — it is not on the curve (0³ + 7 ≠ 0 mod p), mirroring the
+    reference's explicit ``is_pai`` flag with none-sentinel ptrs
+    (precompiles-prover/src/ec/mod.rs point rows)."""
+    assert 0 <= x < (1 << 256) and 0 <= y < (1 << 256)
+    return Node.chunks_from_bytes(
+        x.to_bytes(32, "little") + y.to_bytes(32, "little")
+    )
+
+
+def ec_point_value(node: Node) -> tuple:
+    """Inverse of :func:`ec_point_node`: decode a two-chunk point node."""
+    if node.tag != TAG_CHUNKS or len(node.chunks) != 2:
+        raise DeferredError("EC point operand must be a two-chunk value")
+    vals = []
+    for chunk in node.chunks:
+        if any(int(v) >> 32 for v in chunk):
+            raise DeferredError("EC point limbs exceed u32")
+        vals.append(sum(int(v) << (32 * i) for i, v in enumerate(chunk)))
+    return tuple(vals)
+
+
 def binop_statement_node(pid: int, a: Digest, b: Digest, out: Digest) -> Node:
     """Statement shape shared by u256 add/mul and keccak merge: a
     pair-list ``[(a, b), (out, TRUE)]`` under tag [pid, 0, 0, 0]. Its
@@ -888,6 +916,109 @@ class _KeccakPrecompile(Precompile):
         return Node.true_node()
 
 
+class _EcPrecompile(Precompile):
+    """Host evaluator for the secp256k1 group-law statements.
+
+    Covers the reference's EC precompile family
+    (precompiles-prover/src/ec/: add + msm chiplets over the point /
+    group stores) at claim granularity: ``PID_EC_ADD`` states
+    ``out = a + b`` under the complete affine group law with the (0, 0)
+    infinity sentinel; ``PID_EC_MUL`` states ``out = [k]·P`` for an
+    arbitrary 256-bit integer scalar (double-and-add semantics).
+    Finite operands must be canonical (coordinates < p) and on-curve.
+    """
+
+    def __init__(self, name, pid):
+        self.name, self.id = name, pid
+
+    def decode(self, args):
+        return PAIR_LIST if tuple(args) == (0, 0, 0) else None
+
+    def evaluate(self, args, node, ctx):
+        from ..dsa.ecdsa_k256 import P as EC_P
+
+        (a_d, b_d), (out_d, true_d) = node.as_pairs()
+        if tuple(true_d) != TRUE_DIGEST:
+            raise DeferredError("malformed EC statement")
+        children = []
+        for d in (a_d, b_d, out_d):
+            child = ctx.get_node(tuple(d))
+            if child is None:
+                raise DeferredError("EC operand node missing")
+            children.append(child)
+        if self.id == PID_EC_MUL:
+            scalar_node = children[0]
+            if (
+                scalar_node.tag != TAG_CHUNKS
+                or len(scalar_node.chunks) != 1
+            ):
+                raise DeferredError("EC scalar must be a one-chunk value")
+            (chunk,) = scalar_node.chunks
+            if any(int(v) >> 32 for v in chunk):
+                raise DeferredError("EC scalar limbs exceed u32")
+            k = sum(int(v) << (32 * i) for i, v in enumerate(chunk))
+            pts = [ec_point_value(c) for c in children[1:]]
+        else:
+            k = None
+            pts = [ec_point_value(c) for c in children]
+        for pt in pts[:-1] if self.id == PID_EC_ADD else pts[:1]:
+            if pt != (0, 0):
+                if not (pt[0] < EC_P and pt[1] < EC_P):
+                    raise DeferredError("EC point coordinate not canonical")
+                if not _ec_on_curve(pt):
+                    raise DeferredError("EC operand not on secp256k1")
+        if self.id == PID_EC_ADD:
+            expected = secp256k1_complete_add(pts[0], pts[1])
+            if pts[2] != expected:
+                raise DeferredError("EC add claim is false")
+        else:
+            expected = secp256k1_scalar_mul(k, pts[0])
+            if pts[1] != expected:
+                raise DeferredError("EC mul claim is false")
+        return Node.true_node()
+
+
+def _ec_on_curve(pt) -> bool:
+    from ..dsa.ecdsa_k256 import P as EC_P
+
+    x, y = pt
+    return (y * y - x * x * x - 7) % EC_P == 0
+
+
+def secp256k1_complete_add(p, q) -> tuple:
+    """Complete affine group law on secp256k1 with the (0, 0) infinity
+    sentinel (host twin of the EcOpAir case split, precompile/ec.py)."""
+    from ..dsa.ecdsa_k256 import P as EC_P
+    from ..dsa.ecdsa_k256 import _inv
+
+    if p == (0, 0):
+        return tuple(q)
+    if q == (0, 0):
+        return tuple(p)
+    x1, y1 = p
+    x2, y2 = q
+    if x1 % EC_P == x2 % EC_P:
+        if (y1 + y2) % EC_P == 0:
+            return (0, 0)
+        lam = 3 * x1 * x1 * _inv(2 * y1, EC_P) % EC_P
+    else:
+        lam = (y2 - y1) * _inv(x2 - x1, EC_P) % EC_P
+    x3 = (lam * lam - x1 - x2) % EC_P
+    y3 = (lam * (x1 - x3) - y1) % EC_P
+    return (x3, y3)
+
+
+def secp256k1_scalar_mul(k: int, p) -> tuple:
+    """[k]·P by complete double-and-add (msb-first), matching the EC mul
+    chiplet's step chain row-for-row."""
+    acc = (0, 0)
+    for i in reversed(range(256)):
+        acc = secp256k1_complete_add(acc, acc)
+        if (k >> i) & 1:
+            acc = secp256k1_complete_add(acc, p)
+    return acc
+
+
 def default_registry() -> PrecompileRegistry:
     """Registry with the in-tree precompiles installed."""
     mask = (1 << 256) - 1
@@ -905,6 +1036,8 @@ def default_registry() -> PrecompileRegistry:
                 _keccak_merge_semantics,
             ),
             _KeccakPrecompile(),
+            _EcPrecompile("miden::secp256k1::add", PID_EC_ADD),
+            _EcPrecompile("miden::secp256k1::mul", PID_EC_MUL),
         ]
     )
 
