@@ -222,7 +222,7 @@ class KeccakAir(Air):
     aux_width = 1 + 4
     num_randomness = 2
     num_aux_values = 1
-    num_public_values = 7
+    num_public_values = 8
     periodic_columns = _periodic_patterns()
 
     def eval(self, f) -> None:

@@ -222,7 +222,7 @@ class KeccakVarAir(Air):
     aux_width = 1 + 6
     num_randomness = 2
     num_aux_values = 1
-    num_public_values = 7
+    num_public_values = 8
     periodic_columns = _periodic_patterns()
 
     def eval(self, f) -> None:
@@ -554,7 +554,7 @@ class SpongeAir(Air):
     aux_width = 1 + 4
     num_randomness = 2
     num_aux_values = 1
-    num_public_values = 7
+    num_public_values = 8
 
     def eval(self, f) -> None:
         fam = []
@@ -585,7 +585,7 @@ class SpongeAir(Air):
         fam.append(
             (
                 "first",
-                perm - (n_claims + n_u256 + n_km) * 3,
+                perm - (n_claims + n_u256 + n_km) * 3 - f.public(7) * 6,
                 ["perm/first"],
             )
         )

@@ -258,7 +258,7 @@ class ChainAir(Air):
     aux_width = 1 + 4
     num_randomness = 2
     num_aux_values = 1
-    num_public_values = 7
+    num_public_values = 8
 
     def eval(self, f) -> None:
         fam = {"zero": [], "trans": [], "first": [], "last": []}
@@ -288,13 +288,17 @@ class ChainAir(Air):
         )
 
         A("zero", kk * (cid - PID_KECCAK256), "kind/join_id")
+        from ..vm.deferred import PID_EC_ADD, PID_EC_MUL
+
         A(
             "zero",
             act
             * (1 - kk)
             * (cid - U256_ADD_ID)
             * (cid - PID_KECCAK_MERGE)
-            * (cid - PID_U256_MUL),
+            * (cid - PID_U256_MUL)
+            * (cid - PID_EC_ADD)
+            * (cid - PID_EC_MUL),
             "kind/pairlist_id",
         )
 
@@ -430,7 +434,7 @@ class U256Air(Air):
     aux_width = 1 + 24
     num_randomness = 2
     num_aux_values = 1
-    num_public_values = 7
+    num_public_values = 8
 
     def eval(self, f) -> None:
         fam = {"zero": [], "trans": [], "first": [], "last": []}
@@ -560,7 +564,7 @@ class RangeTableAir(Air):
     aux_width = 2
     num_randomness = 2
     num_aux_values = 1
-    num_public_values = 7
+    num_public_values = 8
 
     def eval(self, f) -> None:
         v = f.main(R_V)
@@ -599,7 +603,7 @@ class RangeTableAir(Air):
 
 
 class SessionPermAir(Poseidon2PermutationAir):
-    num_public_values = 7
+    num_public_values = 8
 
 
 # ---------------------------------------------------------------------------
@@ -625,6 +629,8 @@ class SessionTraces:
     keccak: object = None  # merge-form bit-column chiplet
     kvar: object = None  # arbitrary-length keccak chiplet
     sponge: object = None  # canonical chunk-sponge chiplet
+    ec_op: object = None  # secp256k1 group-law chiplet
+    ec_mac: object = None  # secp256k1 modular MAC chiplet
 
     def __iter__(self):
         return iter(
@@ -637,6 +643,7 @@ def build_session_traces(claims) -> SessionTraces:
     Claims may mix U256AddClaim/U256MulClaim, Keccak256Claim (64-byte
     merge), and keccak_var.KeccakClaim (any length) in any (execution)
     order."""
+    from .ec import EcAddClaim, point_digest
     from .keccak import Keccak256Claim, build_keccak_trace
     from .keccak_var import (
         KeccakClaim,
@@ -651,8 +658,10 @@ def build_session_traces(claims) -> SessionTraces:
     ]
     keccak_claims = [c for c in claims if isinstance(c, Keccak256Claim)]
     arb_claims = [c for c in claims if isinstance(c, KeccakClaim)]
+    ec_claims = [c for c in claims if isinstance(c, EcAddClaim)]
     nu = len(u256_claims)
     nk = len(keccak_claims)
+    nec = len(ec_claims)
 
     rows = _pow2(n + 1)  # ≥ one padding row (act monotone drop in-window)
     urows = _pow2(nu + 1)
@@ -669,6 +678,20 @@ def build_session_traces(claims) -> SessionTraces:
         row[CH_PERM] = 3 * r
         row[CH_ID] = cl.id
         row[CH_PREV] = root
+        if isinstance(cl, EcAddClaim):
+            ha = point_digest(cl.a)
+            hb = point_digest(cl.b)
+            ho = point_digest(cl.out)
+            s_d1 = hp.permute([*ha, *hb, cl.id, 0, 0, 0])
+            s_st = hp.permute([*ho, 0, 0, 0, 0, *s_d1[8:12]])
+            s_fd = hp.permute([*root, *s_st[0:4], 1, 0, 0, 0])
+            row[CH_HA], row[CH_HB], row[CH_HO] = ha, hb, ho
+            row[CH_D1], row[CH_STMT], row[CH_FOLD] = s_d1, s_st, s_fd
+            perm_cycles[3 * r] = ([*ha, *hb, cl.id, 0, 0, 0], 1)
+            perm_cycles[3 * r + 1] = ([*ho, 0, 0, 0, 0, *s_d1[8:12]], 1)
+            perm_cycles[3 * r + 2] = ([*root, *s_st[0:4], 1, 0, 0, 0], 1)
+            root = tuple(s_fd[0:4])
+            continue
         if isinstance(cl, KeccakClaim):
             from ..vm.deferred import Node, keccak_message_chunks
 
@@ -740,17 +763,27 @@ def build_session_traces(claims) -> SessionTraces:
         keccak = build_keccak_trace(keccak_claims, n, nu, perm_states=kperm)
         perm_cycles[3 * n + 3 * nu : 3 * n + 3 * nu + 3 * nk] = kperm
 
+    counts = np.zeros(RANGE_VALUES, dtype=np.int64)
+
+    # EC region: 6 cycles per claim at 3·(n+nu+nk), before the sponge's
+    ec_op = ec_mac = None
+    if ec_claims:
+        from .ec import build_ec_traces
+
+        ec_op, ec_mac = build_ec_traces(
+            ec_claims, 3 * (n + nu + nk), perm_cycles, counts
+        )
+
     kvar = sponge = None
     if arb_claims:
         kvar = build_keccak_var_trace(arb_claims)
         sponge, _digests = build_sponge_trace(
-            arb_claims, 3 * (n + nu + nk), perm_cycles
+            arb_claims, 3 * (n + nu + nk) + 6 * nec, perm_cycles
         )
 
     rng = np.zeros((RANGE_ROWS, RANGE_WIDTH), dtype=np.uint64)
     rng[:RANGE_VALUES, R_V] = np.arange(RANGE_VALUES, dtype=np.uint64)
     rng[:RANGE_VALUES, R_ACT] = 1
-    counts = np.zeros(RANGE_VALUES, dtype=np.int64)
     for j, cl in enumerate(u256_claims):
         for v in (*_limbs16(cl.a), *_limbs16(cl.b), *_limbs16(cl.out)):
             counts[v] += 1
@@ -764,7 +797,9 @@ def build_session_traces(claims) -> SessionTraces:
     rng[:RANGE_VALUES, R_M] = counts.astype(np.uint64)
 
     perm = VC.build_poseidon_trace(perm_cycles)
-    return SessionTraces(chain, u256, rng, perm, root, keccak, kvar, sponge)
+    return SessionTraces(
+        chain, u256, rng, perm, root, keccak, kvar, sponge, ec_op, ec_mac
+    )
 
 
 class SessionMultiAir(MultiAir):
@@ -777,18 +812,22 @@ class SessionMultiAir(MultiAir):
 
 
 def _session_statement(
-    root, n_claims: int, n_u256: int, n_kmerge: int
+    root, n_claims: int, n_u256: int, n_kmerge: int, n_ec: int = 0
 ) -> Statement:
+    from .ec import EcMacAir, EcOpAir
     from .keccak import KeccakAir
     from .keccak_var import KeccakVarAir, SpongeAir
 
-    publics = [*[v % P for v in root], n_claims, n_u256, n_kmerge]
+    publics = [*[v % P for v in root], n_claims, n_u256, n_kmerge, n_ec]
     airs = [ChainAir(), U256Air(), RangeTableAir(), SessionPermAir()]
     if n_kmerge > 0:
         airs.append(KeccakAir())
-    if n_claims - n_u256 - n_kmerge > 0:  # arbitrary-length keccak claims
+    if n_claims - n_u256 - n_kmerge - n_ec > 0:  # arbitrary-length keccak
         airs.append(KeccakVarAir())
         airs.append(SpongeAir())
+    if n_ec > 0:
+        airs.append(EcOpAir())
+        airs.append(EcMacAir())
     return Statement(SessionMultiAir(airs), publics)
 
 
@@ -806,6 +845,7 @@ class DeferredProof:
     stark: object  # stark.prover.Proof
     n_u256: int = -1  # -1 = legacy all-u256 session
     n_kmerge: int = -1  # -1 = legacy: every non-u256 claim is a merge
+    n_ec: int = 0  # secp256k1 group-law claims
 
     def __post_init__(self):
         if self.n_u256 < 0:
@@ -822,18 +862,26 @@ def prove_deferred_state(claims, params: PcsParams = MIDEN_PARAMS) -> DeferredPr
 
     from .keccak import Keccak256Claim
 
+    from .ec import EcAddClaim
+
     tr = build_session_traces(claims)
     n = len(claims)
     nu = sum(1 for c in claims if isinstance(c, (U256AddClaim, U256MulClaim)))
     nk = sum(1 for c in claims if isinstance(c, Keccak256Claim))
-    statement = _session_statement(tr.root, n, nu, nk)
+    nec = sum(1 for c in claims if isinstance(c, EcAddClaim))
+    statement = _session_statement(tr.root, n, nu, nk, nec)
     traces = [tr.chain, tr.u256, tr.rng, tr.perm]
-    for extra in (tr.keccak, tr.kvar, tr.sponge):
+    for extra in (tr.keccak, tr.kvar, tr.sponge, tr.ec_op, tr.ec_mac):
         if extra is not None:
             traces.append(extra)
     res = prove(params, statement, traces, DuplexChallenger(SESSION_SEED))
     return DeferredProof(
-        root=tr.root, n_claims=n, stark=res.proof, n_u256=nu, n_kmerge=nk
+        root=tr.root,
+        n_claims=n,
+        stark=res.proof,
+        n_u256=nu,
+        n_kmerge=nk,
+        n_ec=nec,
     )
 
 
@@ -852,8 +900,14 @@ def verify_deferred(
         raise VerificationError("invalid session claim counts")
     if not 0 <= proof.n_kmerge <= proof.n_claims - proof.n_u256:
         raise VerificationError("invalid session claim counts")
+    if not (
+        0
+        <= proof.n_ec
+        <= proof.n_claims - proof.n_u256 - proof.n_kmerge
+    ):
+        raise VerificationError("invalid session claim counts")
     statement = _session_statement(
-        proof.root, proof.n_claims, proof.n_u256, proof.n_kmerge
+        proof.root, proof.n_claims, proof.n_u256, proof.n_kmerge, proof.n_ec
     )
     from ..transcript.challenger import TranscriptError
 
@@ -875,11 +929,14 @@ def claims_from_deferred_state(state) -> list:
     statements no session chiplet covers."""
     from ..vm.deferred import (
         DeferredError,
+        PID_EC_ADD,
         PID_KECCAK256,
         PID_KECCAK_MERGE,
         TAG_CHUNKS,
         TRUE_DIGEST,
+        ec_point_value,
     )
+    from .ec import EcAddClaim
     from .keccak import Keccak256Claim
     from .keccak_var import KeccakClaim
 
@@ -930,6 +987,18 @@ def claims_from_deferred_state(state) -> list:
             for j in range(len(msg_node.chunks) // 5):
                 message += data[160 * j : 160 * j + 136]
             claims.append(KeccakClaim(message=bytes(message[:length])))
+        elif pid == PID_EC_ADD:
+            (a_d, b_d), (out_d, _true) = node.as_pairs()
+            pts = []
+            for d in (a_d, b_d, out_d):
+                child = state.get_node(tuple(d))
+                if child is None:
+                    raise DeferredError("EC operand node missing")
+                pts.append(ec_point_value(child))
+            claim = EcAddClaim(a=pts[0], b=pts[1])
+            if claim.out != pts[2]:
+                raise DeferredError("EC add statement does not hold")
+            claims.append(claim)
         else:
             raise DeferredError(f"no session chiplet for precompile {pid}")
     return claims

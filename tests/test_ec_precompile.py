@@ -103,3 +103,107 @@ def test_false_ec_claims_rejected():
     # (non-canonical coordinates x + p almost never fit in 256 bits —
     # 2^256 − p = 2^32 + 977 — so the canonicity reject is untestable
     # with real curve points; the evaluator still guards the window)
+
+
+# ---------------------------------------------------------------------------
+# Session chiplets: constraints + LogUp balance
+# ---------------------------------------------------------------------------
+
+RAND = [(0x1234_5678_9ABC_DEF0, 0x0FED_CBA9_8765_4321), (12345, 67890)]
+
+
+def _session_publics(root, n, nu, nk, nec):
+    from miden_tpu.field import gl
+
+    return [*[int(v) % gl.P for v in root], n, nu, nk, nec]
+
+
+def _check_session(claims, nu, nk, nec):
+    from miden_tpu.precompile.ec import EcMacAir, EcOpAir
+    from miden_tpu.precompile.session import (
+        ChainAir,
+        RangeTableAir,
+        SessionMultiAir,
+        SessionPermAir,
+        U256Air,
+        build_session_traces,
+    )
+    from miden_tpu.stark.debug import check_air
+
+    tr = build_session_traces(claims)
+    publics = _session_publics(tr.root, len(claims), nu, nk, nec)
+    finals = []
+    pairs = [
+        (ChainAir(), tr.chain),
+        (U256Air(), tr.u256),
+        (RangeTableAir(), tr.rng),
+        (SessionPermAir(), tr.perm),
+        (EcOpAir(), tr.ec_op),
+        (EcMacAir(), tr.ec_mac),
+    ]
+    for air, main in pairs:
+        aux, vals = air.build_aux_trace(main, publics, [], RAND)
+        vs = check_air(
+            air,
+            main,
+            aux=aux,
+            publics=publics,
+            randomness=RAND,
+            aux_values=vals,
+        )
+        assert not vs, f"{type(air).__name__}: {vs[:4]}"
+        finals.extend(vals)
+    total = SessionMultiAir([]).eval_external(RAND, [finals], [])[0]
+    assert tuple(total) == (0, 0), f"LogUp imbalance: {total}"
+    return tr
+
+
+def test_ec_session_all_cases_constraints_and_balance():
+    """All five complete-law cases in one session, mixed with a u256
+    claim: every chiplet's constraints hold and LogUp balances."""
+    from miden_tpu.precompile.ec import EcAddClaim
+    from miden_tpu.precompile.session import U256AddClaim
+
+    neg_g = (G[0], EC_P - G[1])
+    claims = [
+        EcAddClaim(a=G, b=G2),  # chord
+        U256AddClaim(a=0xDEADBEEF, b=(1 << 200) - 1),
+        EcAddClaim(a=G, b=G),  # tangent (doubling)
+        EcAddClaim(a=G, b=neg_g),  # negation -> infinity
+        EcAddClaim(a=INF, b=G3),  # infinity-A
+        EcAddClaim(a=G2, b=INF),  # infinity-B
+    ]
+    _check_session(claims, nu=1, nk=0, nec=5)
+
+
+def test_ec_session_tamper_rejected():
+    """A wrong result point breaks the chiplet constraints (the claim
+    digests pin the operands, so the group law must fail)."""
+    import numpy as np
+
+    from miden_tpu.precompile.ec import (
+        EcAddClaim,
+        EcMacAir,
+        EcOpAir,
+        E_XR,
+        build_ec_traces,
+    )
+    from miden_tpu.stark.debug import check_air
+
+    claim = EcAddClaim(a=G, b=G2)
+    cycles = []
+    op, mac = build_ec_traces([claim], 3, cycles)
+    publics = _session_publics((0, 0, 0, 0), 1, 0, 0, 1)
+    # tamper the result's first limb: some constraint family must break
+    bad = op.copy()
+    bad[0, E_XR[0]] ^= 1
+    air = EcOpAir()
+    aux, vals = air.build_aux_trace(bad, publics, [], RAND)
+    vs = check_air(
+        air, bad, aux=aux, publics=publics, randomness=RAND, aux_values=vals
+    )
+    # the digest re-derivation (wiring) and MAC messages shift: the bus
+    # columns no longer cancel, so the final aux value changes vs the
+    # honest trace — detected through the cross-AIR balance
+    aux0, vals0 = air.build_aux_trace(op, publics, [], RAND)
+    assert vals != vals0 or vs

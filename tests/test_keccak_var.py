@@ -55,7 +55,7 @@ def _publics(root, claims):
     n = len(claims)
     nu = sum(1 for c in claims if isinstance(c, (U256AddClaim, U256MulClaim)))
     nk = sum(1 for c in claims if isinstance(c, Keccak256Claim))
-    return [*[int(v) % gl.P for v in root], n, nu, nk]
+    return [*[int(v) % gl.P for v in root], n, nu, nk, 0]
 
 
 def _airs_and_traces(tr, claims):

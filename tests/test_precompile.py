@@ -35,9 +35,9 @@ CLAIMS = [
 ]
 
 
-def _publics(root, n, nu=None, nk=0):
+def _publics(root, n, nu=None, nk=0, nec=0):
     nu = n if nu is None else nu
-    return [*[int(v) % gl.P for v in root], n, nu, nk]
+    return [*[int(v) % gl.P for v in root], n, nu, nk, nec]
 
 
 def test_session_airs_satisfy_constraints_and_balance():

@@ -51,9 +51,9 @@ MIXED = [
 ]
 
 
-def _publics(root, n, nu, nk=None):
+def _publics(root, n, nu, nk=None, nec=0):
     nk = (n - nu) if nk is None else nk
-    return [*[int(v) % gl.P for v in root], n, nu, nk]
+    return [*[int(v) % gl.P for v in root], n, nu, nk, nec]
 
 
 def _bits_to_int(row, first, count):
