@@ -160,9 +160,22 @@ def claim_statement_digest(claim) -> tuple:
             [*hm, *ho, claim.id, len(claim.message), 0, 0]
         )[0:4]
         return tuple(stmt)
-    ha = _operand_digest_state(claim.a)[0:4]
-    hb = _operand_digest_state(claim.b)[0:4]
-    ho = _operand_digest_state(claim.out)[0:4]
+    from ..vm.deferred import PID_EC_ADD, PID_EC_MUL
+
+    if claim.id in (PID_EC_ADD, PID_EC_MUL):
+        from .ec import point_digest
+
+        ha = (
+            point_digest(claim.a)
+            if claim.id == PID_EC_ADD
+            else _operand_digest_state(claim.a)[0:4]
+        )
+        hb = point_digest(claim.b)
+        ho = point_digest(claim.out)
+    else:
+        ha = _operand_digest_state(claim.a)[0:4]
+        hb = _operand_digest_state(claim.b)[0:4]
+        ho = _operand_digest_state(claim.out)[0:4]
     s1 = hp.permute([*ha, *hb, claim.id, 0, 0, 0])
     stmt = hp.permute([*ho, 0, 0, 0, 0, *s1[8:12]])[0:4]
     return tuple(stmt)

@@ -126,6 +126,69 @@ def _register(processor, node) -> None:
         raise ExecutionError(f"deferred claim rejected: {exc}") from exc
 
 
+def _read_u256_limbs(processor, base: int, what: str) -> int:
+    limbs = [int(processor.stack[base + i]) for i in range(8)]
+    for v in limbs:
+        if v > U32_MAX:
+            raise ExecutionError(f"secp256k1: {what} limb not u32")
+    return sum(v << (32 * i) for i, v in enumerate(limbs))
+
+
+def _push_point_advice(processor, pt) -> None:
+    limbs = [(pt[0] >> (32 * i)) & U32_MAX for i in range(8)]
+    limbs += [(pt[1] >> (32 * i)) & U32_MAX for i in range(8)]
+    processor.advice.stack[0:0] = list(reversed(limbs))
+
+
+def _register_ec_claim(processor, pid, a_node, b_pt, out_pt) -> None:
+    from ..vm.deferred import binop_statement_node, ec_point_node
+
+    nodes = [a_node, ec_point_node(*b_pt), ec_point_node(*out_pt)]
+    for node in nodes:
+        _register(processor, node)
+    _register(
+        processor,
+        binop_statement_node(pid, *(n.digest() for n in nodes)),
+    )
+
+
+def handle_secp256k1_add(processor) -> None:
+    """``miden::core::crypto::ec::secp256k1::add``: read two affine
+    points (8 LE u32 limbs per coordinate, xa limb 0 nearest the top,
+    below the event id), push R = A + B (complete group law, (0, 0) =
+    infinity) onto the advice stack, and register the EC add claim in
+    the deferred DAG. Reference analog: the EC precompile host ops
+    behind precompiles-prover/src/ec/add/."""
+    from ..vm.deferred import PID_EC_ADD, ec_point_node, secp256k1_complete_add
+
+    xa = _read_u256_limbs(processor, 1, "xa")
+    ya = _read_u256_limbs(processor, 9, "ya")
+    xb = _read_u256_limbs(processor, 17, "xb")
+    yb = _read_u256_limbs(processor, 25, "yb")
+    out = secp256k1_complete_add((xa, ya), (xb, yb))
+    _push_point_advice(processor, out)
+    _register_ec_claim(
+        processor, PID_EC_ADD, ec_point_node(xa, ya), (xb, yb), out
+    )
+
+
+def handle_secp256k1_mul(processor) -> None:
+    """``miden::core::crypto::ec::secp256k1::mul``: read a 256-bit
+    scalar and an affine point, push R = [k]·P onto the advice stack,
+    and register the EC mul claim. Reference analog: the MSM host ops
+    behind precompiles-prover/src/ec/msm/."""
+    from ..vm.deferred import PID_EC_MUL, secp256k1_scalar_mul, u256_value_node
+
+    k = _read_u256_limbs(processor, 1, "scalar")
+    xp = _read_u256_limbs(processor, 9, "xp")
+    yp = _read_u256_limbs(processor, 17, "yp")
+    out = secp256k1_scalar_mul(k, (xp, yp))
+    _push_point_advice(processor, out)
+    _register_ec_claim(
+        processor, PID_EC_MUL, u256_value_node(k), (xp, yp), out
+    )
+
+
 def stdlib_event_handlers() -> dict[int, object]:
     """Event-id -> handler map to pass as ``event_handlers=`` to execute /
     prove_program."""
@@ -137,6 +200,12 @@ def stdlib_event_handlers() -> dict[int, object]:
         event_id(
             "miden::core::crypto::hashes::keccak256::hash_memory"
         ): handle_keccak_hash_memory,
+        event_id(
+            "miden::core::crypto::ec::secp256k1::add"
+        ): handle_secp256k1_add,
+        event_id(
+            "miden::core::crypto::ec::secp256k1::mul"
+        ): handle_secp256k1_mul,
     }
 
 

@@ -207,3 +207,139 @@ def test_ec_session_tamper_rejected():
     # honest trace — detected through the cross-AIR balance
     aux0, vals0 = air.build_aux_trace(op, publics, [], RAND)
     assert vals != vals0 or vs
+
+
+# ---------------------------------------------------------------------------
+# MASM stdlib module + VM binding
+# ---------------------------------------------------------------------------
+
+
+def _limbs256(x):
+    return [(x >> (32 * i)) & 0xFFFFFFFF for i in range(8)]
+
+
+def _push8(limbs):
+    return (
+        f"push.{limbs[7]}.{limbs[6]}.{limbs[5]}.{limbs[4]} "
+        f"push.{limbs[3]}.{limbs[2]}.{limbs[1]}.{limbs[0]}"
+    )
+
+
+def _ec_add_src(point_a, body):
+    """Program: inputs carry [XB(8), YB(8)]; A is pushed in-source
+    (stack inputs are capped at 16 felts)."""
+    return (
+        "use miden::core::crypto::ec::secp256k1\n"
+        "begin "
+        + _push8(_limbs256(point_a[1]))
+        + " "
+        + _push8(_limbs256(point_a[0]))
+        + f" {body} end"
+    )
+
+
+def test_secp256k1_masm_add():
+    """exec.secp256k1::add returns A + B and LOGDEFERREDs the canonical
+    EC add statement digest (matching the host-side claim digest)."""
+    from miden_tpu.precompile.ec import EcAddClaim
+    from miden_tpu.precompile.session import deferred_root_for
+    from miden_tpu.stdlib import assemble_with_stdlib, stdlib_event_handlers
+    from miden_tpu.vm.processor import execute
+
+    src = _ec_add_src(G, "exec.secp256k1::add")
+    inputs = _limbs256(G2[0]) + _limbs256(G2[1])
+    out = execute(
+        assemble_with_stdlib(src),
+        inputs,
+        event_handlers=stdlib_event_handlers(),
+    )
+    assert list(out.stack[0:8]) == _limbs256(G3[0])
+    assert list(out.stack[8:16]) == _limbs256(G3[1])
+    assert tuple(out.deferred_root) == deferred_root_for(
+        [EcAddClaim(a=G, b=G2)]
+    )
+
+
+def test_secp256k1_masm_mul():
+    """exec.secp256k1::mul returns [k]·P and logs the EC mul claim."""
+    from miden_tpu.stdlib import assemble_with_stdlib, stdlib_event_handlers
+    from miden_tpu.vm.processor import execute
+
+    k = 0xDEAD_BEEF_1234_5678_9ABC
+    r = _point_mul(k)
+    src = (
+        "use miden::core::crypto::ec::secp256k1\n"
+        "begin " + _push8(_limbs256(k)) + " exec.secp256k1::mul end"
+    )
+    inputs = _limbs256(G[0]) + _limbs256(G[1])
+    out = execute(
+        assemble_with_stdlib(src),
+        inputs,
+        event_handlers=stdlib_event_handlers(),
+    )
+    assert list(out.stack[0:8]) == _limbs256(r[0])
+    assert list(out.stack[8:16]) == _limbs256(r[1])
+    stmt = binop_statement_node(
+        PID_EC_MUL,
+        u256_value_node(k).digest(),
+        ec_point_node(*G).digest(),
+        ec_point_node(*r).digest(),
+    ).digest()
+    from miden_tpu.precompile.session import fold_deferred_root
+
+    assert tuple(out.deferred_root) == fold_deferred_root((0, 0, 0, 0), stmt)
+
+
+@pytest.mark.slow
+def test_ec_session_prove_verify_e2e():
+    """Mixed EC + u256 session proves and verifies; tampered root and a
+    dishonest claim count are rejected."""
+    from miden_tpu.precompile.ec import EcAddClaim
+    from miden_tpu.precompile.session import (
+        U256AddClaim,
+        prove_deferred_state,
+        verify_deferred,
+    )
+    from miden_tpu.stark.params import TEST_PARAMS
+    from miden_tpu.stark.verifier import VerificationError
+
+    claims = [
+        EcAddClaim(a=G, b=G2),
+        U256AddClaim(a=12345, b=67890),
+        EcAddClaim(a=G, b=G),
+    ]
+    proof = prove_deferred_state(claims, params=TEST_PARAMS)
+    assert proof.n_ec == 2
+    verify_deferred(proof, proof.root, params=TEST_PARAMS)
+    with pytest.raises(VerificationError):
+        verify_deferred(proof, (1, 2, 3, 4), params=TEST_PARAMS)
+
+
+@pytest.mark.slow
+def test_ec_main_proof_binds_session_root_e2e():
+    """A MASM program calling secp256k1::add produces a main proof whose
+    deferred root the EC session proof discharges (the loop the
+    reference closes for EC claims in prover/src/lib.rs)."""
+    from miden_tpu.precompile.ec import EcAddClaim
+    from miden_tpu.precompile.session import (
+        prove_deferred_state,
+    )
+    from miden_tpu.stark.params import TEST_PARAMS
+    from miden_tpu.stark.verifier import VerificationError
+    from miden_tpu.stdlib import assemble_with_stdlib, stdlib_event_handlers
+    from miden_tpu.vm.prove import prove_program, verify_program
+
+    src = _ec_add_src(G, "exec.secp256k1::add dropw dropw dropw dropw")
+    inputs = _limbs256(G2[0]) + _limbs256(G2[1])
+    out, proof = prove_program(
+        assemble_with_stdlib(src),
+        inputs,
+        params=TEST_PARAMS,
+        event_handlers=stdlib_event_handlers(),
+    )
+    with pytest.raises(VerificationError):
+        verify_program(proof, params=TEST_PARAMS)
+    verify_program(proof, params=TEST_PARAMS, partial=True)
+    session = prove_deferred_state([EcAddClaim(a=G, b=G2)], params=TEST_PARAMS)
+    assert tuple(session.root) == tuple(proof.deferred_root)
+    verify_program(proof, params=TEST_PARAMS, deferred=session)
