@@ -49,7 +49,9 @@ from ..stark.air import Air
 from ..vm.constraints.buses import BUS_WIRING_IN, BUS_WIRING_OUT, Challenges, mux
 from ..vm.deferred import (
     PID_EC_ADD,
+    PID_EC_MUL,
     secp256k1_complete_add,
+    secp256k1_scalar_mul,
 )
 
 P = gl.P
@@ -127,6 +129,34 @@ class EcAddClaim:
     @property
     def id(self) -> int:
         return PID_EC_ADD
+
+
+@dataclass(frozen=True)
+class EcMulClaim:
+    """Claim: out = [a]·b on secp256k1 (a = 256-bit integer scalar,
+    msb-first double-and-add over 256 steps; [0]·P = (0, 0)).
+
+    The ECDSA-shaped claim: the reference proves these with the MSM
+    chiplet stack (precompiles-prover/src/ec/msm/); here one claim row
+    binds (k, P, R) digests and 512 forced step rows run the complete
+    double-and-add chain, scalar bits re-packed into the claimed limb
+    words at eight 32-bit boundaries."""
+
+    a: int
+    b: tuple
+
+    def __post_init__(self):
+        assert 0 <= self.a < (1 << 256)
+        x, y = self.b
+        assert 0 <= x < (1 << 256) and 0 <= y < (1 << 256)
+
+    @property
+    def out(self) -> tuple:
+        return secp256k1_scalar_mul(self.a, self.b)
+
+    @property
+    def id(self) -> int:
+        return PID_EC_MUL
 
 
 def point_digest_states(pt) -> tuple:
@@ -412,7 +442,23 @@ E_SB1 = list(range(128, 140))
 E_SB2 = list(range(140, 152))
 E_SO1 = list(range(152, 164))
 E_SO2 = list(range(164, 176))
-EC_WIDTH = 176
+# scalar-mul chain columns
+E_CR = 176  # claim row flag
+E_MUL = 177  # claim kind on claim rows: 0 = add, 1 = mul
+E_CH = 178  # chain (double-and-add step) row flag
+E_PAR = 179  # step parity: 0 = double row, 1 = add row
+E_BIT = 180  # scalar bit consumed on add rows (msb-first)
+E_FB = 181  # 32-bit word boundary (WC = 63)
+E_FE = 182  # chain end (SC = 511)
+E_SC = 183  # step counter 0..511 (range-forced)
+E_WC = 184  # word-cycle counter 0..63 (range-forced)
+E_KA = 185  # in-word scalar bit accumulator
+E_KW = list(range(186, 194))  # scalar word register (shifts up at FB)
+E_PX = list(range(194, 202))  # base point (copied down the chain)
+E_PY = list(range(202, 210))
+E_XO = list(range(210, 218))  # claimed result (checked at chain end)
+E_YO = list(range(218, 226))
+EC_WIDTH = 226
 
 _ONE8 = [1] + [0] * 7
 _SEVEN8 = [7] + [0] * 7
@@ -420,16 +466,20 @@ _ZERO8 = [0] * 8
 
 
 def ec_bus_columns(f):
-    """6 digest-wiring columns (one per Poseidon2 cycle), the claim-bus
-    removal, and 4 flag-muxed MAC-consume columns."""
-    from .session import SBUS_CLAIM
+    """6 digest-wiring columns (one per Poseidon2 cycle; the first pair
+    muxes between the add claim's point-A absorbs and the mul claim's
+    single scalar absorb), the claim-bus removal, 4 flag-muxed
+    MAC-consume columns, and 1 chain counter range column."""
+    from .session import SBUS_CLAIM, SBUS_RANGE
 
     ch = Challenges(f)
     lch = LongChallenges(f)
     one = f.const(1)
-    act = f.main(E_ACT)
     perm = f.main(E_PERM)
     cid = f.main(E_CID)
+    cr = f.main(E_CR)
+    cmul = f.main(E_MUL)
+    chn_ = f.main(E_CH)
     fadd = f.main(E_FADD)
     fdbl = f.main(E_FDBL)
     fneg = f.main(E_FNEG)
@@ -445,32 +495,54 @@ def ec_bus_columns(f):
     w2y = [f.main(c) for c in E_W2Y]
     ua = [f.main(c) for c in E_UA]
     ub = [f.main(c) for c in E_UB]
+    kw = [f.main(c) for c in E_KW]
 
     cols = []
-    # digest wiring: two absorbs per point, cycle ids perm..perm+5
+    # digest wiring: claim rows only. Slot A: two point absorbs for add
+    # claims, one scalar absorb (output in SA2) for mul claims.
+    sa1 = [f.main(c) for c in E_SA1]
+    sa2 = [f.main(c) for c in E_SA2]
+    in0 = ch.msg(BUS_WIRING_IN, [perm, *xa, 2, 0, 0, 0])
+    out0 = ch.msg(BUS_WIRING_OUT, [perm, *sa1])
+    in1 = ch.msg(
+        BUS_WIRING_IN, [perm + 1, *ya, sa1[8], sa1[9], sa1[10], sa1[11]]
+    )
+    out1 = ch.msg(BUS_WIRING_OUT, [perm + 1, *sa2])
+    in_k = ch.msg(BUS_WIRING_IN, [perm, *kw, 2, 0, 0, 0])
+    out_k = ch.msg(BUS_WIRING_OUT, [perm, *sa2])
+    cr_add = cr * (1 - cmul)
+    cr_mul = cr * cmul
+    cols.append(
+        mux(
+            one,
+            [
+                (cr_add, [(1, in0), (1, out0)]),
+                (cr_mul, [(1, in_k), (1, out_k)]),
+            ],
+        )
+    )
+    cols.append(mux(one, [(cr_add, [(1, in1), (1, out1)])]))
     for k, (xc, yc, s1c, s2c) in enumerate(
         (
-            (xa, ya, E_SA1, E_SA2),
             (xb, yb, E_SB1, E_SB2),
             (xr, yr, E_SO1, E_SO2),
         )
     ):
         s1 = [f.main(c) for c in s1c]
         s2 = [f.main(c) for c in s2c]
-        in0 = ch.msg(BUS_WIRING_IN, [perm + 2 * k, *xc, 2, 0, 0, 0])
-        out0 = ch.msg(BUS_WIRING_OUT, [perm + 2 * k, *s1])
-        in1 = ch.msg(
-            BUS_WIRING_IN,
-            [perm + 2 * k + 1, *yc, s1[8], s1[9], s1[10], s1[11]],
+        base = perm + 2 * (k + 1)
+        i0 = ch.msg(BUS_WIRING_IN, [base, *xc, 2, 0, 0, 0])
+        o0 = ch.msg(BUS_WIRING_OUT, [base, *s1])
+        i1 = ch.msg(
+            BUS_WIRING_IN, [base + 1, *yc, s1[8], s1[9], s1[10], s1[11]]
         )
-        out1 = ch.msg(BUS_WIRING_OUT, [perm + 2 * k + 1, *s2])
-        cols.append(mux(one, [(act, [(1, in0), (1, out0)])]))
-        cols.append(mux(one, [(act, [(1, in1), (1, out1)])]))
-    sa2 = [f.main(c) for c in E_SA2]
+        o1 = ch.msg(BUS_WIRING_OUT, [base + 1, *s2])
+        cols.append(mux(one, [(cr, [(1, i0), (1, o0)])]))
+        cols.append(mux(one, [(cr, [(1, i1), (1, o1)])]))
     sb2 = [f.main(c) for c in E_SB2]
     so2 = [f.main(c) for c in E_SO2]
     claim = ch.msg(SBUS_CLAIM, [cid, *sa2[0:4], *sb2[0:4], *so2[0:4]])
-    cols.append(mux(one, [(act, [(-1, claim)])]))
+    cols.append(mux(one, [(cr, [(-1, claim)])]))
 
     def mac(m3, a, b, c=_ZERO8, d=_ZERO8, e=_ZERO8, fo=_ZERO8, g=_ZERO8):
         return lch.msg(SBUS_MAC, [m3, *a, *b, *c, *d, *e, *fo, *g])
@@ -511,21 +583,52 @@ def ec_bus_columns(f):
         mux(one, [(fadd + fdbl + fneg, [(-1, m_oc_au), (-1, m_oc_a)])])
     )
     cols.append(mux(one, [(fadd, [(-1, m_oc_bu), (-1, m_oc_b)])]))
+
+    # chain counters: SC ≤ 511 and WC ≤ 63 (forces FE at 511, FB at 63)
+    sc = f.main(E_SC)
+    wc = f.main(E_WC)
+    cols.append(
+        mux(
+            one,
+            [
+                (
+                    chn_,
+                    [
+                        (1, ch.msg(SBUS_RANGE, [sc * 128])),
+                        (1, ch.msg(SBUS_RANGE, [wc * 1024])),
+                    ],
+                )
+            ],
+        )
+    )
     return cols
 
 
 class EcOpAir(Air):
-    """Complete secp256k1 group-law rows (one per EC add claim).
+    """Complete secp256k1 group-law rows: add claims and scalar-mul
+    double-and-add chains.
 
-    Case flags (one-hot): infinity-A → R = B; infinity-B → R = A;
-    chord (x₁ ≠ x₂, proven by Δ·Δ⁻¹ ≡ 1); tangent (A = B limb-exact);
-    negation (x equal, y₁ + y₂ ≡ 0 → R = (0,0)). Finite cases consume
-    on-curve MACs for their operands ("stored ⟹ on-curve",
-    ec/mod.rs), making the (0,0) sentinel unusable in a finite case.
+    Row kinds: **claim rows** (CR) bind operand digests through
+    Poseidon2 wiring and remove the chain's claim-bus message — add
+    claims are a claim row that is also a group-law op row; mul claim
+    rows are pure binding rows followed by a forced 512-row chain.
+    **Chain rows** (CH) alternate double (A=B=acc) and add
+    (B = bit ? base : (0,0)) steps with the accumulator threaded
+    through R→A transitions, starting at the infinity sentinel; scalar
+    bits accumulate msb-first into a word register checked against the
+    claimed limbs at eight 32-bit boundaries (WC/FB), and the final
+    step's result must equal the claim row's bound output (FE).
+
+    Each op row's case flags (one-hot): infinity-A → R = B;
+    infinity-B → R = A; chord (x₁ ≠ x₂ proven by Δ·Δ⁻¹ ≡ 1); tangent
+    (A = B limb-exact); negation (x equal, y₁+y₂ ≡ 0 → R = (0,0)).
+    Finite cases consume on-curve MACs ("stored ⟹ on-curve",
+    ec/mod.rs), so the (0,0) sentinel is unusable in a finite case.
+    Mirrors precompiles-prover/src/ec/{add,msm}/ at claim granularity.
     """
 
     width = EC_WIDTH
-    aux_width = 1 + 11
+    aux_width = 1 + 12
     num_randomness = 2
     num_aux_values = 1
     num_public_values = 8
@@ -543,30 +646,83 @@ class EcOpAir(Air):
         cid = f.main(E_CID)
         flags = [f.main(c) for c in (E_FIA, E_FIB, E_FADD, E_FDBL, E_FNEG)]
         fia, fib, fadd, fdbl, fneg = flags
+        cr = f.main(E_CR)
+        crn = f.main(E_CR, 1)
+        cmul = f.main(E_MUL)
+        chf = f.main(E_CH)
+        chfn = f.main(E_CH, 1)
+        par = f.main(E_PAR)
+        parn = f.main(E_PAR, 1)
+        bit = f.main(E_BIT)
+        fb = f.main(E_FB)
+        fe = f.main(E_FE)
+        sc = f.main(E_SC)
+        scn = f.main(E_SC, 1)
+        wc = f.main(E_WC)
+        wcn = f.main(E_WC, 1)
+        ka = f.main(E_KA)
+        kan = f.main(E_KA, 1)
         xa = [f.main(c) for c in E_XA]
         ya = [f.main(c) for c in E_YA]
+        xan = [f.main(c, 1) for c in E_XA]
+        yan = [f.main(c, 1) for c in E_YA]
         xb = [f.main(c) for c in E_XB]
         yb = [f.main(c) for c in E_YB]
         xr = [f.main(c) for c in E_XR]
         yr = [f.main(c) for c in E_YR]
+        kw = [f.main(c) for c in E_KW]
+        kwn = [f.main(c, 1) for c in E_KW]
+        px = [f.main(c) for c in E_PX]
+        py = [f.main(c) for c in E_PY]
+        pxn = [f.main(c, 1) for c in E_PX]
+        pyn = [f.main(c, 1) for c in E_PY]
+        xo = [f.main(c) for c in E_XO]
+        yo = [f.main(c) for c in E_YO]
+        xon = [f.main(c, 1) for c in E_XO]
+        yon = [f.main(c, 1) for c in E_YO]
 
         A("zero", act * (act - 1), "act/bool")
         A("trans", (1 - act) * actn, "act/monotone")
         A("last", act, "act/last_padding")
-        total_flags = flags[0]
-        for fl in flags[1:]:
-            total_flags = total_flags + fl
+        for name, flag in (
+            ("cr", cr),
+            ("mul", cmul),
+            ("ch", chf),
+            ("par", par),
+            ("bit", bit),
+            ("fb", fb),
+            ("fe", fe),
+        ):
+            A("zero", flag * (flag - 1), f"{name}/bool")
+            A("zero", (1 - act) * flag, f"{name}/pad_zero")
         for j, fl in enumerate(flags):
             A("zero", fl * (fl - 1), f"flag/bool{j}")
             A("zero", (1 - act) * fl, f"flag/pad_zero{j}")
-        A("zero", act * (total_flags - 1), "flag/one_hot")
-        A("zero", act * (cid - PID_EC_ADD), "id/ec_add")
+        # every active row is exactly one of claim / chain
+        A("zero", act * (cr + chf - 1), "row/kind")
+        A("zero", (1 - cr) * cmul, "mul/claim_only")
+        # case flags: one-hot on op rows, absent on mul binding rows
+        total_flags = flags[0]
+        for fl in flags[1:]:
+            total_flags = total_flags + fl
+        A("zero", act * (total_flags - 1 + cr * cmul), "flag/one_hot")
+        A("zero", act * cr * (cid - PID_EC_ADD - cmul), "id/claim")
+        A("zero", chf * cid, "id/chain_zero")
+        # fb/fe only on chain rows, at their forced counter values
+        A("zero", (1 - chf) * fb, "fb/chain_only")
+        A("zero", (1 - chf) * fe, "fe/chain_only")
+        A("zero", fb * (wc - 63), "fb/at_63")
+        A("zero", fe * (sc - 511), "fe/at_511")
+        A("zero", chf * fb * (par - 1), "fb/add_row")
+        # word boundary: completed word equals the register's top word
+        A("zero", chf * fb * (ka + ka + bit - kw[7]), "kw/boundary")
 
         n_claims = f.public(4)
         n_u256 = f.public(5)
         n_km = f.public(6)
         A("first", perm - (n_claims + n_u256 + n_km) * 3, "perm/first")
-        A("trans", actn * (permn - perm - 6), "perm/step")
+        A("first", cr - 1, "first/claim_row")
+        A("trans", actn * (permn - perm - 6 * crn), "perm/step")
 
         for i in range(8):
             A("zero", fia * xa[i], f"ia/xa{i}")
@@ -582,6 +738,66 @@ class EcOpAir(Air):
             A("zero", fneg * (xa[i] - xb[i]), f"neg/xeq{i}")
             A("zero", fneg * xr[i], f"neg/xr{i}")
             A("zero", fneg * yr[i], f"neg/yr{i}")
+            # mul claim rows bind base point and claimed result copies
+            A("zero", cr * cmul * (px[i] - xb[i]), f"mulcr/px{i}")
+            A("zero", cr * cmul * (py[i] - yb[i]), f"mulcr/py{i}")
+            A("zero", cr * cmul * (xo[i] - xr[i]), f"mulcr/xo{i}")
+            A("zero", cr * cmul * (yo[i] - yr[i]), f"mulcr/yo{i}")
+            # chain step operand pinning
+            A("zero", chf * (1 - par) * (xb[i] - xa[i]), f"step/dbl_xb{i}")
+            A("zero", chf * (1 - par) * (yb[i] - ya[i]), f"step/dbl_yb{i}")
+            A("zero", chf * par * bit * (xb[i] - px[i]), f"step/add_xb{i}")
+            A("zero", chf * par * bit * (yb[i] - py[i]), f"step/add_yb{i}")
+            A("zero", chf * par * (1 - bit) * xb[i], f"step/addo_xb{i}")
+            A("zero", chf * par * (1 - bit) * yb[i], f"step/addo_yb{i}")
+            # chain end: final step result equals the claimed output
+            A("zero", chf * fe * (xr[i] - xo[i]), f"end/xr{i}")
+            A("zero", chf * fe * (yr[i] - yo[i]), f"end/yr{i}")
+
+        # --- chain structure transitions ---
+        crmul = cr * cmul
+        cont = chf * (1 - fe)
+        # chain rows appear only after a mul claim row or an unfinished
+        # chain row; a mul claim row must start one; an unfinished chain
+        # must continue
+        A("trans", chfn * (1 - crmul - cont), "chain/provenance")
+        A("trans", crmul * (1 - chfn), "chain/must_start")
+        A("trans", cont * (1 - chfn), "chain/must_continue")
+        # chain start state
+        A("trans", crmul * scn, "start/sc")
+        A("trans", crmul * parn, "start/par")
+        A("trans", crmul * wcn, "start/wc")
+        A("trans", crmul * kan, "start/ka")
+        for i in range(8):
+            A("trans", crmul * xan[i], f"start/xa{i}")
+            A("trans", crmul * yan[i], f"start/ya{i}")
+            A("trans", crmul * (kwn[i] - kw[i]), f"start/kw{i}")
+        # chain continuation state
+        A("trans", cont * (scn - sc - 1), "cont/sc")
+        A("trans", cont * (parn - 1 + par), "cont/par")
+        A("trans", cont * (wcn - (1 - fb) * (wc + 1)), "cont/wc")
+        A(
+            "trans",
+            cont * (kan - (1 - fb) * (ka + par * (ka + bit))),
+            "cont/ka",
+        )
+        A("trans", cont * (kwn[0] - (1 - fb) * kw[0]), "cont/kw0")
+        for i in range(1, 8):
+            A(
+                "trans",
+                cont * (kwn[i] - (1 - fb) * kw[i] - fb * kw[i - 1]),
+                f"cont/kw{i}",
+            )
+        for i in range(8):
+            A("trans", cont * (xan[i] - xr[i]), f"cont/acc_x{i}")
+            A("trans", cont * (yan[i] - yr[i]), f"cont/acc_y{i}")
+        # base point and claimed output copy down the whole chain
+        carry = crmul + cont
+        for i in range(8):
+            A("trans", carry * (pxn[i] - px[i]), f"copy/px{i}")
+            A("trans", carry * (pyn[i] - py[i]), f"copy/py{i}")
+            A("trans", carry * (xon[i] - xo[i]), f"copy/xo{i}")
+            A("trans", carry * (yon[i] - yo[i]), f"copy/yo{i}")
 
         cols = ec_bus_columns(f)
         acc = f.aux(0)
@@ -684,44 +900,132 @@ _FLAG_COL = {
     "neg": E_FNEG,
 }
 
+#: chain rows per scalar-mul claim (256 double rows + 256 add rows)
+MUL_CHAIN_ROWS = 512
+
+
+def _fill_op_row(row, a_pt, b_pt, r_pt, case, w):
+    row[_FLAG_COL[case]] = 1
+    row[E_XA], row[E_YA] = _limbs32(a_pt[0]), _limbs32(a_pt[1])
+    row[E_XB], row[E_YB] = _limbs32(b_pt[0]), _limbs32(b_pt[1])
+    row[E_XR], row[E_YR] = _limbs32(r_pt[0]), _limbs32(r_pt[1])
+    row[E_LAM] = _limbs32(w["lam"])
+    row[E_DLT] = _limbs32(w["dlt"])
+    row[E_DLI] = _limbs32(w["dli"])
+    row[E_W2Y] = _limbs32(w["w2y"])
+    row[E_UA] = _limbs32(w["ua"])
+    row[E_UB] = _limbs32(w["ub"])
+
+
+def _claim_row_wiring(row, claim, perm_cycles):
+    """Fills the digest-state columns and appends the claim's 6
+    permutation cycles (mul claims: scalar absorb + 1 dummy)."""
+    if isinstance(claim, EcMulClaim):
+        ha_state = hp.permute([*_limbs32(claim.a), 2, 0, 0, 0])
+        row[E_SA2] = ha_state
+        perm_cycles.append(([*_limbs32(claim.a), 2, 0, 0, 0], 1))
+        perm_cycles.append(([0] * 12, 0))  # unused slot-A second cycle
+        pts = (claim.b, claim.out)
+    else:
+        s1, s2 = point_digest_states(claim.a)
+        row[E_SA1], row[E_SA2] = s1, s2
+        perm_cycles.append(([*_limbs32(claim.a[0]), 2, 0, 0, 0], 1))
+        perm_cycles.append(([*_limbs32(claim.a[1]), *s1[8:12]], 1))
+        pts = (claim.b, claim.out)
+    for pt, (s1c, s2c) in zip(pts, ((E_SB1, E_SB2), (E_SO1, E_SO2))):
+        s1, s2 = point_digest_states(pt)
+        row[s1c] = s1
+        row[s2c] = s2
+        perm_cycles.append(([*_limbs32(pt[0]), 2, 0, 0, 0], 1))
+        perm_cycles.append(([*_limbs32(pt[1]), *s1[8:12]], 1))
+
 
 def build_ec_traces(ec_claims, perm_base: int, perm_cycles, counts=None):
-    """(op_matrix, mac_matrix): EcOp rows consume perm cycles
-    perm_base + 6j (appended to ``perm_cycles``) and emit MAC rows."""
-    nec = len(ec_claims)
-    rows = 1 << max(1, nec.bit_length())  # pow2 ≥ nec+1 (≥ 1 pad row)
-    if rows <= nec:
+    """(op_matrix, mac_matrix): EcOp claim row j consumes perm cycles
+    perm_base + 6j (appended to ``perm_cycles``); mul claims emit 512
+    chain rows each; group-law side conditions emit MAC rows."""
+    n_rows = sum(
+        1 + (MUL_CHAIN_ROWS if isinstance(c, EcMulClaim) else 0)
+        for c in ec_claims
+    )
+    rows = 1 << max(1, n_rows.bit_length())
+    if rows <= n_rows:
         rows <<= 1
     op = np.zeros((rows, EC_WIDTH), dtype=np.uint64)
     op[0, E_PERM] = perm_base  # perm/first anchor even with zero claims
     all_specs = []
+    r = 0
     for j, cl in enumerate(ec_claims):
-        p, q, r = cl.a, cl.b, cl.out
-        case, w, specs = ec_case_and_witnesses(p, q)
-        all_specs.extend(specs)
-        row = op[j]
+        perm_id = perm_base + 6 * j
+        row = op[r]
         row[E_ACT] = 1
-        row[E_PERM] = perm_base + 6 * j
+        row[E_CR] = 1
+        row[E_PERM] = perm_id
         row[E_CID] = cl.id
-        row[_FLAG_COL[case]] = 1
-        row[E_XA], row[E_YA] = _limbs32(p[0]), _limbs32(p[1])
-        row[E_XB], row[E_YB] = _limbs32(q[0]), _limbs32(q[1])
-        row[E_XR], row[E_YR] = _limbs32(r[0]), _limbs32(r[1])
-        row[E_LAM] = _limbs32(w["lam"])
-        row[E_DLT] = _limbs32(w["dlt"])
-        row[E_DLI] = _limbs32(w["dli"])
-        row[E_W2Y] = _limbs32(w["w2y"])
-        row[E_UA] = _limbs32(w["ua"])
-        row[E_UB] = _limbs32(w["ub"])
-        for pt, (s1c, s2c) in (
-            (p, (E_SA1, E_SA2)),
-            (q, (E_SB1, E_SB2)),
-            (r, (E_SO1, E_SO2)),
-        ):
-            s1, s2 = point_digest_states(pt)
-            row[s1c] = s1
-            row[s2c] = s2
-            perm_cycles.append(([*_limbs32(pt[0]), 2, 0, 0, 0], 1))
-            perm_cycles.append(([*_limbs32(pt[1]), *s1[8:12]], 1))
+        _claim_row_wiring(row, cl, perm_cycles)
+        if isinstance(cl, EcAddClaim):
+            case, w, specs = ec_case_and_witnesses(cl.a, cl.b)
+            all_specs.extend(specs)
+            _fill_op_row(row, cl.a, cl.b, cl.out, case, w)
+            r += 1
+            continue
+        # mul claim: binding row + forced double-and-add chain
+        base, out = cl.b, cl.out
+        row[E_MUL] = 1
+        row[E_XB], row[E_YB] = _limbs32(base[0]), _limbs32(base[1])
+        row[E_XR], row[E_YR] = _limbs32(out[0]), _limbs32(out[1])
+        row[E_PX], row[E_PY] = _limbs32(base[0]), _limbs32(base[1])
+        row[E_XO], row[E_YO] = _limbs32(out[0]), _limbs32(out[1])
+        row[E_KW] = _limbs32(cl.a)
+        r += 1
+        acc = (0, 0)
+        kw = _limbs32(cl.a)
+        ka = wc = 0
+        for t in range(256):
+            bit_i = (cl.a >> (255 - t)) & 1
+            for par in (0, 1):
+                srow = op[r]
+                srow[E_ACT] = 1
+                srow[E_CH] = 1
+                srow[E_PERM] = perm_id
+                srow[E_PAR] = par
+                srow[E_SC] = 2 * t + par
+                srow[E_WC] = wc
+                srow[E_KA] = ka
+                srow[E_KW] = kw
+                srow[E_PX], srow[E_PY] = (
+                    _limbs32(base[0]),
+                    _limbs32(base[1]),
+                )
+                srow[E_XO], srow[E_YO] = (
+                    _limbs32(out[0]),
+                    _limbs32(out[1]),
+                )
+                if par == 0:
+                    b_pt = acc
+                else:
+                    srow[E_BIT] = bit_i
+                    b_pt = base if bit_i else (0, 0)
+                r_pt = secp256k1_complete_add(acc, b_pt)
+                case, w, specs = ec_case_and_witnesses(acc, b_pt)
+                all_specs.extend(specs)
+                _fill_op_row(srow, acc, b_pt, r_pt, case, w)
+                fb = 1 if wc == 63 else 0
+                srow[E_FB] = fb
+                srow[E_FE] = 1 if 2 * t + par == 511 else 0
+                if counts is not None:  # SC/WC range-bus multiplicities
+                    counts[(2 * t + par) * 128] += 1
+                    counts[wc * 1024] += 1
+                if fb:
+                    assert 2 * ka + bit_i == kw[7], "scalar word mismatch"
+                    kw = [0] + kw[:-1]
+                    ka, wc = 0, 0
+                else:
+                    wc += 1
+                    if par:
+                        ka = 2 * ka + bit_i
+                acc = r_pt
+                r += 1
+        assert acc == out, "scalar-mul chain result mismatch"
     mac = build_mac_rows(all_specs, counts)
     return op, mac

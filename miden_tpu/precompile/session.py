@@ -656,7 +656,7 @@ def build_session_traces(claims) -> SessionTraces:
     Claims may mix U256AddClaim/U256MulClaim, Keccak256Claim (64-byte
     merge), and keccak_var.KeccakClaim (any length) in any (execution)
     order."""
-    from .ec import EcAddClaim, point_digest
+    from .ec import EcAddClaim, EcMulClaim, point_digest
     from .keccak import Keccak256Claim, build_keccak_trace
     from .keccak_var import (
         KeccakClaim,
@@ -671,7 +671,9 @@ def build_session_traces(claims) -> SessionTraces:
     ]
     keccak_claims = [c for c in claims if isinstance(c, Keccak256Claim)]
     arb_claims = [c for c in claims if isinstance(c, KeccakClaim)]
-    ec_claims = [c for c in claims if isinstance(c, EcAddClaim)]
+    ec_claims = [
+        c for c in claims if isinstance(c, (EcAddClaim, EcMulClaim))
+    ]
     nu = len(u256_claims)
     nk = len(keccak_claims)
     nec = len(ec_claims)
@@ -691,8 +693,12 @@ def build_session_traces(claims) -> SessionTraces:
         row[CH_PERM] = 3 * r
         row[CH_ID] = cl.id
         row[CH_PREV] = root
-        if isinstance(cl, EcAddClaim):
-            ha = point_digest(cl.a)
+        if isinstance(cl, (EcAddClaim, EcMulClaim)):
+            ha = (
+                point_digest(cl.a)
+                if isinstance(cl, EcAddClaim)
+                else _operand_digest_state(cl.a)[0:4]
+            )
             hb = point_digest(cl.b)
             ho = point_digest(cl.out)
             s_d1 = hp.permute([*ha, *hb, cl.id, 0, 0, 0])
@@ -875,13 +881,15 @@ def prove_deferred_state(claims, params: PcsParams = MIDEN_PARAMS) -> DeferredPr
 
     from .keccak import Keccak256Claim
 
-    from .ec import EcAddClaim
+    from .ec import EcAddClaim, EcMulClaim
 
     tr = build_session_traces(claims)
     n = len(claims)
     nu = sum(1 for c in claims if isinstance(c, (U256AddClaim, U256MulClaim)))
     nk = sum(1 for c in claims if isinstance(c, Keccak256Claim))
-    nec = sum(1 for c in claims if isinstance(c, EcAddClaim))
+    nec = sum(
+        1 for c in claims if isinstance(c, (EcAddClaim, EcMulClaim))
+    )
     statement = _session_statement(tr.root, n, nu, nk, nec)
     traces = [tr.chain, tr.u256, tr.rng, tr.perm]
     for extra in (tr.keccak, tr.kvar, tr.sponge, tr.ec_op, tr.ec_mac):
@@ -943,13 +951,14 @@ def claims_from_deferred_state(state) -> list:
     from ..vm.deferred import (
         DeferredError,
         PID_EC_ADD,
+        PID_EC_MUL,
         PID_KECCAK256,
         PID_KECCAK_MERGE,
         TAG_CHUNKS,
         TRUE_DIGEST,
         ec_point_value,
     )
-    from .ec import EcAddClaim
+    from .ec import EcAddClaim, EcMulClaim
     from .keccak import Keccak256Claim
     from .keccak_var import KeccakClaim
 
@@ -1000,17 +1009,26 @@ def claims_from_deferred_state(state) -> list:
             for j in range(len(msg_node.chunks) // 5):
                 message += data[160 * j : 160 * j + 136]
             claims.append(KeccakClaim(message=bytes(message[:length])))
-        elif pid == PID_EC_ADD:
+        elif pid in (PID_EC_ADD, PID_EC_MUL):
             (a_d, b_d), (out_d, _true) = node.as_pairs()
-            pts = []
+            children = []
             for d in (a_d, b_d, out_d):
                 child = state.get_node(tuple(d))
                 if child is None:
                     raise DeferredError("EC operand node missing")
-                pts.append(ec_point_value(child))
-            claim = EcAddClaim(a=pts[0], b=pts[1])
-            if claim.out != pts[2]:
-                raise DeferredError("EC add statement does not hold")
+                children.append(child)
+            if pid == PID_EC_ADD:
+                claim = EcAddClaim(
+                    a=ec_point_value(children[0]),
+                    b=ec_point_value(children[1]),
+                )
+            else:
+                claim = EcMulClaim(
+                    a=chunk_value(a_d),
+                    b=ec_point_value(children[1]),
+                )
+            if claim.out != ec_point_value(children[2]):
+                raise DeferredError("EC statement does not hold")
             claims.append(claim)
         else:
             raise DeferredError(f"no session chiplet for precompile {pid}")

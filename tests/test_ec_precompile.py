@@ -343,3 +343,32 @@ def test_ec_main_proof_binds_session_root_e2e():
     session = prove_deferred_state([EcAddClaim(a=G, b=G2)], params=TEST_PARAMS)
     assert tuple(session.root) == tuple(proof.deferred_root)
     verify_program(proof, params=TEST_PARAMS, deferred=session)
+
+
+def test_ec_mul_chain_constraints_and_balance():
+    """A scalar-mul claim (513-row double-and-add chain) mixed with an
+    add claim: all chiplets satisfied, LogUp balanced."""
+    from miden_tpu.precompile.ec import EcAddClaim, EcMulClaim
+
+    k = 0b1011_0110_1001  # small scalar: leading-zero chain + mixed bits
+    claims = [
+        EcMulClaim(a=k, b=G),
+        EcAddClaim(a=G, b=G2),
+    ]
+    tr = _check_session(claims, nu=0, nk=0, nec=2)
+    assert tr.ec_op.shape[0] == 1024  # 513 + 1 rows -> pow2
+    from miden_tpu.precompile.ec import EcMulClaim as _M
+
+    assert claims[0].out == _point_mul(k)
+
+
+def test_ec_mul_zero_and_infinity_chains():
+    """[0]·P = O and [k]·O = O chains prove (pure infinity-case rows)."""
+    from miden_tpu.precompile.ec import EcMulClaim
+
+    claims = [
+        EcMulClaim(a=0, b=G),
+        EcMulClaim(a=12345, b=INF),
+    ]
+    _check_session(claims, nu=0, nk=0, nec=2)
+    assert claims[0].out == INF and claims[1].out == INF
