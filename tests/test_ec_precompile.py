@@ -372,3 +372,21 @@ def test_ec_mul_zero_and_infinity_chains():
     ]
     _check_session(claims, nu=0, nk=0, nec=2)
     assert claims[0].out == INF and claims[1].out == INF
+
+
+@pytest.mark.slow
+def test_ec_mul_session_prove_verify_e2e():
+    """A scalar-mul claim proves and verifies through the full session
+    STARK (513-row chain + MAC chiplet)."""
+    from miden_tpu.precompile.ec import EcMulClaim
+    from miden_tpu.precompile.session import (
+        prove_deferred_state,
+        verify_deferred,
+    )
+    from miden_tpu.stark.params import TEST_PARAMS
+
+    proof = prove_deferred_state(
+        [EcMulClaim(a=0b1011_0110_1001, b=G)], params=TEST_PARAMS
+    )
+    assert proof.n_ec == 1
+    verify_deferred(proof, proof.root, params=TEST_PARAMS)
