@@ -362,6 +362,7 @@ def test_ec_mul_chain_constraints_and_balance():
     assert claims[0].out == _point_mul(k)
 
 
+@pytest.mark.slow
 def test_ec_mul_zero_and_infinity_chains():
     """[0]·P = O and [k]·O = O chains prove (pure infinity-case rows)."""
     from miden_tpu.precompile.ec import EcMulClaim
