@@ -189,6 +189,49 @@ def handle_secp256k1_mul(processor) -> None:
     )
 
 
+def handle_ecdsa_commit(processor) -> None:
+    """``miden::core::crypto::dsa::ecdsa_secp256k1::commit``: read
+    ``[e, r, s, qx, qy]`` (8 LE u32 limbs each) at the pointer on the
+    stack and push the ECDSA commitment point R' = [e·s⁻¹]G + [r·s⁻¹]Q
+    onto the advice stack. When no commitment exists (out-of-range or
+    degenerate signature) the generator is pushed as a benign fallback —
+    the in-VM checks of ``verify_prehash`` then evaluate to false.
+    Host analog of the reference's recovery ops
+    (precompiles/src/ + dsa masm wrappers)."""
+    from ..dsa.ecdsa_k256 import GX, GY
+    from ..dsa.ecdsa_k256 import N as EC_N
+    from ..vm.deferred import (
+        secp256k1_complete_add,
+        secp256k1_scalar_mul,
+    )
+
+    ptr = int(processor.stack[1])
+    vals = []
+    for j in range(5):
+        limbs = []
+        for i in range(8):
+            addr = ptr + 8 * j + i
+            word = processor.memory.get(
+                (processor.ctx, addr - addr % 4), (0, 0, 0, 0)
+            )
+            v = int(word[addr % 4])
+            if v > U32_MAX:
+                raise ExecutionError("ecdsa commit: memory limb not u32")
+            limbs.append(v)
+        vals.append(sum(v << (32 * i) for i, v in enumerate(limbs)))
+    e, r, s, qx, qy = vals
+    pt = None
+    if 0 < r < EC_N and 0 < s < EC_N:
+        w = pow(s, -1, EC_N)
+        pt = secp256k1_complete_add(
+            secp256k1_scalar_mul(e * w % EC_N, (GX, GY)),
+            secp256k1_scalar_mul(r * w % EC_N, (qx, qy)),
+        )
+    if pt is None or pt == (0, 0):
+        pt = (GX, GY)
+    _push_point_advice(processor, pt)
+
+
 def stdlib_event_handlers() -> dict[int, object]:
     """Event-id -> handler map to pass as ``event_handlers=`` to execute /
     prove_program."""
@@ -206,6 +249,9 @@ def stdlib_event_handlers() -> dict[int, object]:
         event_id(
             "miden::core::crypto::ec::secp256k1::mul"
         ): handle_secp256k1_mul,
+        event_id(
+            "miden::core::crypto::dsa::ecdsa_secp256k1::commit"
+        ): handle_ecdsa_commit,
     }
 
 

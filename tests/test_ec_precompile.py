@@ -391,3 +391,93 @@ def test_ec_mul_session_prove_verify_e2e():
     )
     assert proof.n_ec == 1
     verify_deferred(proof, proof.root, params=TEST_PARAMS)
+
+
+# ---------------------------------------------------------------------------
+# In-VM ECDSA verification over the EC precompile
+# ---------------------------------------------------------------------------
+
+
+def _store8_src(x, addr):
+    l = _limbs256(x)
+    return (
+        f"push.{l[3]}.{l[2]}.{l[1]}.{l[0]} push.{addr} mem_storew_le dropw "
+        f"push.{l[7]}.{l[6]}.{l[5]}.{l[4]} push.{addr + 4} mem_storew_le dropw "
+    )
+
+
+def _ecdsa_src(e, r, s, qx, qy):
+    body = "".join(
+        _store8_src(v, 100 + 8 * j) for j, v in enumerate((e, r, s, qx, qy))
+    )
+    return (
+        "use miden::core::crypto::dsa::ecdsa_secp256k1\n"
+        "begin "
+        + body
+        + "push.100 exec.ecdsa_secp256k1::verify_prehash end"
+    )
+
+
+def _run_ecdsa(e, r, s, qx, qy):
+    from miden_tpu.stdlib import assemble_with_stdlib, stdlib_event_handlers
+    from miden_tpu.vm.processor import execute
+
+    out = execute(
+        assemble_with_stdlib(_ecdsa_src(e, r, s, qx, qy)),
+        [],
+        event_handlers=stdlib_event_handlers(),
+    )
+    return out
+
+
+def test_ecdsa_in_vm_verify():
+    """In-VM ECDSA verification (4 deferred EC claims) accepts a valid
+    signature and rejects tampered ones, matching the host verifier."""
+    from miden_tpu.dsa.ecdsa_k256 import N as EC_N
+    from miden_tpu.dsa.ecdsa_k256 import SigningKey
+
+    sk = SigningKey.from_seed(b"miden-tpu-ecdsa-test")
+    pk = sk.public_key()
+    digest = bytes(range(32))
+    sig = sk.sign_prehash(digest)
+    assert pk.verify_prehash(digest, sig)
+    e = int.from_bytes(digest, "big")
+
+    out = _run_ecdsa(e, sig.r, sig.s, pk.x, pk.y)
+    assert int(out.stack[0]) == 1
+    assert tuple(out.deferred_root) != (0, 0, 0, 0)
+
+    # tampered s: host advice falls back, in-VM checks reject
+    bad_s = sig.s + 1 if sig.s + 1 < EC_N else sig.s - 1
+    out = _run_ecdsa(e, sig.r, bad_s, pk.x, pk.y)
+    assert int(out.stack[0]) == 0
+    # out-of-range r
+    out = _run_ecdsa(e, EC_N, sig.s, pk.x, pk.y)
+    assert int(out.stack[0]) == 0
+    # wrong message
+    out = _run_ecdsa(e ^ 1, sig.r, sig.s, pk.x, pk.y)
+    assert int(out.stack[0]) == 0
+
+
+def test_ecdsa_claims_discharge_through_session_bridge():
+    """The deferred DAG from an in-VM ECDSA run bridges to session
+    claims (3 muls + 1 add) whose root matches the execution's."""
+    from miden_tpu.dsa.ecdsa_k256 import SigningKey
+    from miden_tpu.precompile.ec import EcAddClaim, EcMulClaim
+    from miden_tpu.precompile.session import (
+        claims_from_deferred_state,
+        deferred_root_for,
+    )
+
+    sk = SigningKey.from_seed(b"miden-tpu-ecdsa-bridge")
+    pk = sk.public_key()
+    digest = b"\x17" * 32
+    sig = sk.sign_prehash(digest)
+    e = int.from_bytes(digest, "big")
+    out = _run_ecdsa(e, sig.r, sig.s, pk.x, pk.y)
+    assert int(out.stack[0]) == 1
+
+    claims = claims_from_deferred_state(out.deferred_state)
+    kinds = [type(c).__name__ for c in claims]
+    assert kinds == ["EcMulClaim", "EcMulClaim", "EcMulClaim", "EcAddClaim"]
+    assert deferred_root_for(claims) == tuple(out.deferred_root)
