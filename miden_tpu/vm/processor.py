@@ -250,6 +250,9 @@ class Processor:
         self.deferred_synced = True
         self.deferred_root: tuple = (0, 0, 0, 0)
         self.deferred_log: list[tuple] = []  # (statement_digest, new_root)
+        # stepwise-execution suspension point (vm/resume.py; the analog
+        # of fast/step.rs's per-step break check)
+        self._step_hook = None
         self.tracer.attach(self)
 
     # -- stack helpers ------------------------------------------------------
@@ -300,6 +303,8 @@ class Processor:
         self.clk += n
         if self.clk > self.max_cycles:
             raise ExecutionError("max cycles exceeded")
+        if self._step_hook is not None:
+            self._step_hook()
 
     def _node_digest(self, node_id: int) -> tuple:
         return self.forest[node_id].digest
