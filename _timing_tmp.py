@@ -1,4 +1,5 @@
-import os, time
+import os, time, faulthandler, sys
+faulthandler.dump_traceback_later(90, repeat=True, file=sys.stderr)
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
