@@ -232,6 +232,49 @@ def handle_ecdsa_commit(processor) -> None:
     _push_point_advice(processor, pt)
 
 
+def _debug_print(line: str) -> None:
+    import sys
+
+    print(line, file=sys.stderr)
+
+
+def handle_debug_print_stack(processor) -> None:
+    """``miden::core::debug::print_stack`` (debug.masm): print the full
+    operand stack, top first (the event id at s[0] is elided)."""
+    vals = [int(v) for v in processor.stack[1:]]
+    _debug_print(f"[debug] stack (depth {processor.depth}): {vals}")
+
+
+def handle_debug_print_mem(processor) -> None:
+    """``miden::core::debug::print_mem``: print words covering
+    ``[start, end)`` of the current context (start at s[1])."""
+    start, end = int(processor.stack[1]), int(processor.stack[2])
+    if end < start or end - start > 1 << 16:
+        raise ExecutionError("debug::print_mem: invalid range")
+    for addr in range(start - start % 4, end, 4):
+        word = processor.memory.get((processor.ctx, addr), None)
+        if word is not None:
+            _debug_print(f"[debug] mem[{addr}..{addr + 4}] = {list(word)}")
+
+
+def handle_debug_print_mem_all(processor) -> None:
+    """``miden::core::debug::print_mem_all``: print every initialized
+    word of the current context, address-ordered."""
+    for (ctx, addr), word in sorted(processor.memory.items()):
+        if ctx == processor.ctx:
+            _debug_print(f"[debug] mem[{addr}..{addr + 4}] = {list(word)}")
+
+
+def handle_debug_print_adv_stack(processor) -> None:
+    """``miden::core::debug::print_adv_stack``: print the first n
+    advice-stack elements (all when n = 0; n at s[1])."""
+    n = int(processor.stack[1])
+    vals = [int(v) for v in processor.advice.stack]
+    if n:
+        vals = vals[:n]
+    _debug_print(f"[debug] advice stack: {vals}")
+
+
 def stdlib_event_handlers() -> dict[int, object]:
     """Event-id -> handler map to pass as ``event_handlers=`` to execute /
     prove_program."""
@@ -252,6 +295,14 @@ def stdlib_event_handlers() -> dict[int, object]:
         event_id(
             "miden::core::crypto::dsa::ecdsa_secp256k1::commit"
         ): handle_ecdsa_commit,
+        event_id("miden::core::debug::print_stack"): handle_debug_print_stack,
+        event_id("miden::core::debug::print_mem"): handle_debug_print_mem,
+        event_id(
+            "miden::core::debug::print_mem_all"
+        ): handle_debug_print_mem_all,
+        event_id(
+            "miden::core::debug::print_adv_stack"
+        ): handle_debug_print_adv_stack,
     }
 
 

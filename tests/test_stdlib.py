@@ -668,3 +668,31 @@ def test_poseidon2_stdlib_module():
 
     got = run("squeeze_digest", list(range(1, 13)))
     assert list(got[0:4]) == [1, 2, 3, 4]
+
+
+def test_debug_module_prints_state(capfd):
+    """miden::core::debug procedures emit host print events without
+    disturbing execution (debug.masm; reference crates/lib/core/asm/
+    debug.masm)."""
+    from miden_tpu.stdlib import assemble_with_stdlib, stdlib_event_handlers
+    from miden_tpu.vm.processor import execute
+
+    src = (
+        "use miden::core::debug\n"
+        "begin "
+        "push.7.8.9.10 push.48 mem_storew_le dropw "
+        "exec.debug::print_stack "
+        "push.56.48 exec.debug::print_mem "
+        "exec.debug::print_mem_all "
+        "push.0 exec.debug::print_adv_stack "
+        "push.42 "
+        "end"
+    )
+    out = execute(
+        assemble_with_stdlib(src), [], event_handlers=stdlib_event_handlers()
+    )
+    assert int(out.stack[0]) == 42
+    err = capfd.readouterr().err
+    assert "[debug] stack" in err
+    assert "mem[48..52] = [10, 9, 8, 7]" in err
+    assert "advice stack" in err
