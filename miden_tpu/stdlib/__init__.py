@@ -232,6 +232,38 @@ def handle_ecdsa_commit(processor) -> None:
     _push_point_advice(processor, pt)
 
 
+def handle_aead_decrypt(processor) -> None:
+    """``miden::core::crypto::aead::decrypt`` (aead.masm): read the
+    ciphertext blocks at src_ptr, decrypt + authenticate host-side
+    (crypto/aead.py AeadPoseidon2), and push the padded plaintext onto
+    the advice stack; raises ExecutionError when the tag is invalid.
+    The masm side re-encrypts the advice in-VM and asserts the tag, so
+    malicious advice cannot forge a decryption under proving."""
+    from ..crypto.aead import AeadError, AeadPoseidon2, EncryptedData, _pad
+
+    s = processor.stack
+    key = [int(s[1 + i]) for i in range(4)]
+    nonce = tuple(int(s[5 + i]) for i in range(4))
+    tag = tuple(int(s[9 + i]) for i in range(4))
+    src, n = int(s[13]), int(s[15])
+    if n > 1 << 16:
+        raise ExecutionError("aead::decrypt: block count exceeds budget")
+    ct = []
+    for i in range(8 * n):
+        addr = src + i
+        word = processor.memory.get(
+            (processor.ctx, addr - addr % 4), (0, 0, 0, 0)
+        )
+        ct.append(int(word[addr % 4]))
+    try:
+        plain = AeadPoseidon2(key).decrypt_elements(
+            EncryptedData("elements", ct, tag, nonce)
+        )
+    except AeadError as exc:
+        raise ExecutionError(f"aead::decrypt: {exc}") from exc
+    processor.advice.stack[0:0] = _pad(plain)
+
+
 def _debug_print(line: str) -> None:
     import sys
 
@@ -295,6 +327,7 @@ def stdlib_event_handlers() -> dict[int, object]:
         event_id(
             "miden::core::crypto::dsa::ecdsa_secp256k1::commit"
         ): handle_ecdsa_commit,
+        event_id("miden::core::crypto::aead::decrypt"): handle_aead_decrypt,
         event_id("miden::core::debug::print_stack"): handle_debug_print_stack,
         event_id("miden::core::debug::print_mem"): handle_debug_print_mem,
         event_id(

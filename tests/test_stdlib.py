@@ -696,3 +696,85 @@ def test_debug_module_prints_state(capfd):
     assert "[debug] stack" in err
     assert "mem[48..52] = [10, 9, 8, 7]" in err
     assert "advice stack" in err
+
+
+def test_aead_masm_encrypt_decrypt():
+    """crypto::aead matches the host AeadPoseidon2 (MonkeySpongeWrap):
+    in-VM encrypt reproduces ciphertext + tag; decrypt pipes the
+    host-decrypted plaintext and re-authenticates in-VM."""
+    import pytest as _pytest
+
+    from miden_tpu.crypto.aead import AeadPoseidon2, _pad
+    from miden_tpu.stdlib import assemble_with_stdlib, stdlib_event_handlers
+    from miden_tpu.vm.processor import ExecutionError, execute
+
+    key = [11, 22, 33, 44]
+    nonce = (55, 66, 77, 88)
+    data = [101, 202, 303, 404, 505, 606, 707, 808, 909, 1010]  # 2 blocks
+    aead = AeadPoseidon2(key)
+    enc = aead.encrypt_elements(data, nonce=nonce)
+    padded = _pad(data)
+    n_blocks = len(padded) // 8
+
+    def store_elems(vals, base):
+        out = []
+        for w in range(0, len(vals), 4):
+            v = vals[w : w + 4]
+            out.append(
+                f"push.{v[3]}.{v[2]}.{v[1]}.{v[0]} push.{base + w} "
+                "mem_storew_le dropw"
+            )
+        return " ".join(out)
+
+    def pushw(vals):
+        return f"push.{vals[3]}.{vals[2]}.{vals[1]}.{vals[0]}"
+
+    src_enc = (
+        "use miden::core::crypto::aead\n"
+        "begin "
+        + store_elems(padded, 200)
+        + f" push.{n_blocks} push.300 push.200 "
+        + pushw(list(nonce))
+        + " "
+        + pushw(key)
+        + " exec.aead::encrypt end"
+    )
+    out = execute(
+        assemble_with_stdlib(src_enc), [], event_handlers=stdlib_event_handlers()
+    )
+    assert [int(v) for v in out.stack[0:4]] == [int(v) for v in enc.auth_tag]
+    ct = []
+    for w in range(0, 8 * n_blocks, 4):
+        ct.extend(int(v) for v in out.memory[(0, 300 + w)])
+    assert ct == [int(v) for v in enc.ciphertext]
+
+    src_dec = (
+        "use miden::core::crypto::aead\n"
+        "begin "
+        + store_elems([int(v) for v in enc.ciphertext], 400)
+        + f" push.{n_blocks} push.500 push.400 "
+        + pushw([int(v) for v in enc.auth_tag])
+        + " "
+        + pushw(list(nonce))
+        + " "
+        + pushw(key)
+        + " exec.aead::decrypt end"
+    )
+    out = execute(
+        assemble_with_stdlib(src_dec), [], event_handlers=stdlib_event_handlers()
+    )
+    plain = []
+    for w in range(0, 8 * n_blocks, 4):
+        plain.extend(int(v) for v in out.memory[(0, 500 + w)])
+    assert plain == padded
+
+    # tampered tag: the host authenticator rejects
+    bad = src_dec.replace(
+        pushw([int(v) for v in enc.auth_tag]),
+        pushw([int(enc.auth_tag[0]) ^ 1, *[int(v) for v in enc.auth_tag[1:]]]),
+        1,
+    )
+    with _pytest.raises(ExecutionError):
+        execute(
+            assemble_with_stdlib(bad), [], event_handlers=stdlib_event_handlers()
+        )
