@@ -481,3 +481,40 @@ def test_ecdsa_claims_discharge_through_session_bridge():
     kinds = [type(c).__name__ for c in claims]
     assert kinds == ["EcMulClaim", "EcMulClaim", "EcMulClaim", "EcAddClaim"]
     assert deferred_root_for(claims) == tuple(out.deferred_root)
+
+
+def test_ecdsa_adversarial_vectors():
+    """Wycheproof-style edge vectors against both the host verifier and
+    the in-VM verifier: zero / overflow r and s, swapped signature
+    halves, and the high-s malleated twin (accepted by design — this
+    scheme, like the reference's, does not enforce low-s)."""
+    from miden_tpu.dsa.ecdsa_k256 import N as EC_N
+    from miden_tpu.dsa.ecdsa_k256 import Signature, SigningKey
+
+    sk = SigningKey.from_seed(b"miden-tpu-ecdsa-vectors")
+    pk = sk.public_key()
+    digest = b"\xab" * 32
+    sig = sk.sign_prehash(digest)
+    e = int.from_bytes(digest, "big")
+
+    vectors = [
+        # (r, s, expect_valid)
+        (sig.r, sig.s, True),
+        (0, sig.s, False),
+        (sig.r, 0, False),
+        (EC_N, sig.s, False),
+        (sig.r, EC_N, False),
+        (EC_N - 1, sig.s, False),
+        (sig.s, sig.r, False),  # swapped halves
+        (sig.r, EC_N - sig.s, True),  # high-s malleated twin
+    ]
+    for r, s, want in vectors:
+        host = pk.verify_prehash(digest, Signature(r=r, s=s, v=sig.v))
+        assert host == want, (r, s, want)
+        out = _run_ecdsa(e, r, s, pk.x, pk.y)
+        assert int(out.stack[0]) == int(want), (r, s, want)
+
+    # wrong public key
+    other = SigningKey.from_seed(b"other-key").public_key()
+    out = _run_ecdsa(e, sig.r, sig.s, other.x, other.y)
+    assert int(out.stack[0]) == 0
