@@ -6,6 +6,7 @@ execution logged via LOGDEFERRED, and ``verify_deferred`` checks that
 proof against the deferred root bound into the main proof's public claim.
 """
 
+from .ec import EcAddClaim, EcMulClaim
 from .keccak import Keccak256Claim
 from .keccak_var import KeccakClaim
 from .session import (
@@ -20,6 +21,8 @@ from .session import (
 
 __all__ = [
     "DEFERRED_EMPTY_ROOT",
+    "EcAddClaim",
+    "EcMulClaim",
     "Keccak256Claim",
     "KeccakClaim",
     "U256AddClaim",
